@@ -1,0 +1,25 @@
+"""deqmpc_tpu — a TPU-native (JAX/XLA/Pallas/pjit) DEQ-MPC framework.
+
+A ground-up re-design of the capabilities of the reference DEQ-MPC
+research codebase (`anonymous-author-918/deq-mpc-corl`): a deep-equilibrium network
+proposes reference trajectories, a batched differentiable
+augmented-Lagrangian trajectory optimizer projects them onto the
+dynamics manifold, and the network<->optimizer loop is trained
+end-to-end with per-iteration imitation losses.
+
+Design principles (TPU-first, not a port):
+  * the entire DEQ-MPC iteration (network cell, Anderson acceleration,
+    merit/residual assembly, Newton-KKT solves, line search, dual
+    updates) is one jitted XLA program with static shapes,
+    `lax.scan`/`fori_loop` control flow and `where`-masked early exit;
+  * the Newton system is solved block-tridiagonally (O(T) Riccati-style
+    factorization) instead of via dense Cholesky — implemented both as
+    an XLA `lax.scan` and as a Pallas TPU kernel with the batch in
+    vector lanes;
+  * dynamics are pure jnp functions differentiated with `jacfwd`
+    (replacing the reference's CasADi->C->CUDA pipeline);
+  * parallelism is batch-axis sharding over a `jax.sharding.Mesh`
+    (DP over ICI/DCN); per-sample solver state needs no collectives.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,77 @@
+"""Shared utilities: rotations, spaces, state (un)normalization, args.
+
+Reconstructs the surface of the reference's missing ``deqmpc/utils.py``
+(interface fixed by call sites at `/root/reference/deqmpc/train.py:15`,
+`/root/reference/deqmpc/my_envs/cartpole.py:21`): ``Spaces``,
+``merge_args``, ``unnormalize_states_*``, ``angle_normalize_2pi``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .rotations import angle_normalize, angle_normalize_2pi  # noqa: F401
+
+
+@dataclasses.dataclass
+class Spaces:
+    """Minimal gym-style box space (reference `Spaces`/`Spaces_np`)."""
+
+    low: np.ndarray
+    high: np.ndarray
+    shape: tuple
+
+    def __init__(self, low=None, high=None, shape=None):
+        if shape is None and low is not None:
+            shape = np.shape(low)
+        self.shape = tuple(shape) if shape is not None else ()
+        self.low = np.broadcast_to(np.asarray(low, dtype=np.float32), self.shape) if low is not None else None
+        self.high = np.broadcast_to(np.asarray(high, dtype=np.float32), self.shape) if high is not None else None
+
+
+# np alias kept for API parity with the reference's `Spaces_np`
+Spaces_np = Spaces
+
+
+def merge_args(args, saved_args):
+    """Overlay saved run args onto the live args namespace (reference
+    `train.py:160` semantics: saved args win except for eval overrides
+    the caller already applied to `saved_args`)."""
+    merged = dict(vars(args))
+    merged.update({k: v for k, v in vars(saved_args).items()})
+    ns = type(args)()
+    for k, v in merged.items():
+        setattr(ns, k, v)
+    return ns
+
+
+# --- state (un)normalization -------------------------------------------------
+# Expert trajectories are stored with joint angles wrapped to [-pi, pi).
+# "Unnormalizing" maps them to the [0, 2pi) convention the swing-up
+# targets use (upright = pi), matching the reference's angle handling
+# (`flying_cartpole2d.py:8-9`, `my_envs/cartpole.py:90-92`). Only angle
+# coordinates are touched.
+
+
+def _shift_angles(x, idxs):
+    x = jnp.asarray(x)
+    shifted = jnp.mod(x[..., idxs], 2.0 * jnp.pi)
+    return x.at[..., idxs].set(shifted)
+
+
+def unnormalize_states_pendulum(x):
+    """Pendulum state (theta, thetadot): wrap theta into [0, 2pi)."""
+    return _shift_angles(x, jnp.array([0]))
+
+
+def unnormalize_states_cartpole_nlink(x):
+    """Cartpole n-link state (px, q1..qn-1, vels): wrap joint angles."""
+    nq = x.shape[-1] // 2
+    return _shift_angles(x, jnp.arange(1, nq))
+
+
+def unnormalize_states_flyingcartpole(x):
+    """FlyingCartpole state: wrap the pendulum angle (index 6)."""
+    return _shift_angles(x, jnp.array([6]))

@@ -1,0 +1,25 @@
+"""Test config: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware, and enable x64 for correctness-mode checks.
+
+Note: the TPU harness pre-imports jax via sitecustomize, so env vars
+alone are too late — we switch the (lazily-initialized) platform via
+jax.config before any backend is touched.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: nested-autodiff dynamics are compile-heavy;
+# cache makes repeated test runs fast.
+os.makedirs("/tmp/jax_test_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
