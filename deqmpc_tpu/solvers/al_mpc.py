@@ -1,0 +1,211 @@
+"""Batched augmented-Lagrangian MPC solver (outer AL loop + API).
+
+Counterpart of the reference's `qpth/AL_mpc.py` MPC module
+(`forward` :207-258, `al_solve` :260-339, `al_solve_stream` :342-423,
+`reinitialize` :569-579, `warm_start_initialize` :581-591), with the
+mutable module state replaced by an explicit `ALState` pytree so the
+whole solve jits, vmaps and shards.
+
+Gradient semantics match the reference exactly: each AL iteration's
+NewtonAL receives a stop-gradient'd primal iterate (the reference
+detaches `xu` at `AL_mpc.py:299`), dual/penalty updates run under
+stop_gradient (`AL_mpc.py:314-331` no_grad), and the returned
+trajectory carries implicit gradients w.r.t. (Q, q) through the *last*
+Newton solve's custom_vjp only.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .al_core import (ObstacleSet, compute_cost, full_residuals,
+                      num_constraints)
+from .newton_al import NewtonALConfig, make_newton_al
+from .types import ALState, LinDx, QuadCost
+
+Array = jax.Array
+
+
+class ALMPC:
+    """Differentiable batched AL trajectory optimizer.
+
+    Args mirror the reference ctor (`AL_mpc.py:118-205`); dynamics are
+    pure callables:
+      dyn(x, u): (..., nx), (..., nu) -> (..., nx)
+      dyn_jac(x, u): -> (x_next, F) with F = [A|B] (..., nx, nx+nu)
+    """
+
+    def __init__(self, nx: int, nu: int, T: int, u_lower=None, u_upper=None,
+                 dyn: Callable = None, dyn_jac: Callable = None,
+                 al_iter: int = 2, rho_max: float = 1e8,
+                 max_newton_steps: int = 4, dyn_res_tol: float = 1e-3,
+                 state_estimator: bool = False,
+                 obstacles: Optional[ObstacleSet] = None,
+                 n_obs_sel: int = 4,
+                 dtype=jnp.float32,
+                 chol_jitter: float = 0.0):
+        self.nx, self.nu, self.T = nx, nu, T
+        self.n = nx + nu
+        self.dtype = dtype
+        self.al_iter = al_iter
+        self.rho_max = rho_max
+        self.state_estimator = state_estimator
+        self.u_lower = None if u_lower is None else jnp.asarray(u_lower, dtype)
+        self.u_upper = None if u_upper is None else jnp.asarray(u_upper, dtype)
+        self.has_u_box = u_lower is not None and not state_estimator
+        self.n_obs_sel = n_obs_sel if obstacles is not None else 0
+        self.ncon = num_constraints(
+            T, nx, nu, self.has_u_box, self.n_obs_sel, state_estimator
+        )
+        self.dyn = dyn
+        self.dyn_jac = dyn_jac
+        # per-solve obstacle selection lives here (set by select_obstacles)
+        self._obs_current: Optional[ObstacleSet] = None
+        self._all_obstacles = obstacles
+
+        cfg = NewtonALConfig(
+            nx=nx, nu=nu, T=T, max_newton_steps=max_newton_steps,
+            dyn_res_tol=dyn_res_tol,
+            state_estimator=state_estimator, chol_jitter=chol_jitter,
+        )
+        obs_getter = (lambda: self._obs_current) if obstacles is not None else None
+        self._newton = make_newton_al(
+            cfg, self._dyn_batched, self._dyn_jac_batched,
+            self.u_lower if self.has_u_box else None,
+            self.u_upper if self.has_u_box else None,
+            obs_getter,
+        )
+
+    # -- dynamics plumbing ----------------------------------------------------
+    def _dyn_batched(self, x, u):
+        return self.dyn(x, u)
+
+    def _dyn_jac_batched(self, x, u):
+        return self.dyn_jac(x, u)
+
+    # -- state management -----------------------------------------------------
+    def init_state(self, bsz: int) -> ALState:
+        """Fresh solver state (`AL_mpc.py:569-579` reinitialize)."""
+        return ALState.init(bsz, self.T, self.nx, self.nu, self.ncon, self.dtype)
+
+    def warm_start_shift(self, state: ALState, args_rho_init_max: float) -> ALState:
+        """Receding-horizon shift for streaming mode
+        (`AL_mpc.py:581-591`): shift duals one step, zero the tail,
+        clamp rho. (The reference then multiplies lamda by 0 — i.e.
+        dual reset; we keep that behavior for parity.)"""
+        bsz = state.lam.shape[0]
+        T, nx = self.T, self.nx
+        lam_eq = state.lam[:, : T * nx].reshape(bsz, T, nx)
+        lam_in = state.lam[:, T * nx :].reshape(bsz, T, -1)
+        lam_eq = jnp.concatenate([lam_eq[:, 1:-1], lam_eq[:, -2:] * 0], axis=1)
+        lam_in = jnp.concatenate([lam_in[:, 1:], lam_in[:, -1:] * 0], axis=1)
+        lam = jnp.concatenate(
+            [lam_eq.reshape(bsz, -1), lam_in.reshape(bsz, -1)], axis=1
+        ) * 0.0
+        rho = jnp.minimum(state.rho, args_rho_init_max)
+        # shift the primal warm start one step (receding horizon)
+        x = jnp.concatenate([state.x[:, 1:], state.x[:, -1:]], axis=1)
+        u = jnp.concatenate([state.u[:, 1:], state.u[:, -1:]], axis=1)
+        return ALState(lam=lam, rho=rho, x=x, u=u,
+                       has_init=jnp.ones_like(state.has_init))
+
+    def select_obstacles(self, x_ref: Array):
+        """Pick the n_obs_sel nearest obstacles per (sample, step) via
+        top-k (`AL_mpc_custom.py:100-135`)."""
+        if self._all_obstacles is None:
+            return None
+        centers = jnp.asarray(self._all_obstacles.centers, self.dtype)  # (N,3)
+        xyz = x_ref[..., :3]  # (bsz, T, 3)
+        d2 = jnp.sum((xyz[..., None, :] - centers) ** 2, axis=-1)  # (bsz,T,N)
+        _, idx = lax.top_k(-d2, self.n_obs_sel)
+        sel = jnp.take(centers, idx, axis=0)  # (bsz, T, k, 3)
+        self._obs_current = ObstacleSet(centers=sel, radius=self._all_obstacles.radius)
+        return self._obs_current
+
+    # -- solve ----------------------------------------------------------------
+    def solve(self, x0: Array, cost: QuadCost, state: ALState,
+              al_iter: Optional[int] = None,
+              x_init: Optional[Array] = None, u_init: Optional[Array] = None,
+              streaming: bool = False) -> Tuple[Array, Array, Array, ALState]:
+        """Run the AL loop. Returns (x, u, status, new_state).
+
+        x_init/u_init: warm-start trajectories used when the state has
+        no primal iterate yet (the Tracking adapter passes the network
+        reference, `policies.py:1242-1244`).
+        """
+        al_iter = self.al_iter if al_iter is None else al_iter
+        nx = self.nx
+        dtype = self.dtype
+        x0 = x0.astype(dtype)
+        Q = cost.Q.astype(dtype)
+        q = cost.q.astype(dtype)
+        bsz = x0.shape[0]
+
+        if x_init is None:
+            x_init = jnp.broadcast_to(x0[:, None], (bsz, self.T, nx))
+        if u_init is None:
+            u_init = jnp.zeros((bsz, self.T, self.nu), dtype)
+        has = state.has_init[:, None, None]
+        x = jnp.where(has, state.x, lax.stop_gradient(x_init.astype(dtype)))
+        u = jnp.where(has, state.u, lax.stop_gradient(u_init.astype(dtype)))
+        lam, rho = state.lam, state.rho
+
+        obs = self._obs_current
+        stopped = jnp.zeros((), bool)  # streaming rho-overflow exit
+        xu = jnp.concatenate([x, u], axis=-1)
+        for i in range(al_iter):
+            xu_in = lax.stop_gradient(xu)
+            xu_new, nstatus = self._newton(xu_in, x0, lam, rho, Q, q)
+            if streaming:
+                # freeze iterates once the rho-cap exit has triggered
+                # (`AL_mpc.py:412-421` break)
+                xu_new = jnp.where(stopped, xu_in, xu_new)
+            xu = xu_new
+            # dual / penalty updates under stop_gradient (no_grad block,
+            # `AL_mpc.py:314-331`)
+            xu_sg = lax.stop_gradient(xu)
+            res, _ = full_residuals(
+                self._dyn_batched, xu_sg[..., :nx], xu_sg[..., nx:], x0,
+                self.u_lower if self.has_u_box else None,
+                self.u_upper if self.has_u_box else None,
+                obs, self.state_estimator,
+            )
+            neq = self.T * nx
+            lam_next = lam + rho * res
+            lam_next = jnp.concatenate(
+                [lam_next[:, :neq], jnp.maximum(lam_next[:, neq:], 0.0)], axis=1
+            )
+            rho_next = rho * 10.0
+            if streaming:
+                lam = jnp.where(stopped, lam, lam_next)
+                rho = jnp.where(stopped, rho, rho_next)
+                stopped = jnp.logical_or(stopped, jnp.max(rho) > self.rho_max)
+            else:
+                lam, rho = lam_next, rho_next
+
+        x, u = xu[..., :nx], xu[..., nx:]
+        new_state = ALState(
+            lam=lam, rho=rho,
+            x=lax.stop_gradient(x), u=lax.stop_gradient(u),
+            has_init=jnp.ones((bsz,), bool),
+        )
+        status = jnp.broadcast_to(stopped, (bsz,)) if streaming else jnp.zeros((bsz,), bool)
+        return x, u, status, new_state
+
+    # -- diagnostics ----------------------------------------------------------
+    def kkt_residuals(self, x0, cost, x, u):
+        """Constraint violation norms for logging/tests."""
+        xu = jnp.concatenate([x, u], axis=-1)
+        _, res_c = full_residuals(
+            self._dyn_batched, x, u, x0,
+            self.u_lower if self.has_u_box else None,
+            self.u_upper if self.has_u_box else None,
+            self._obs_current, self.state_estimator,
+        )
+        return jnp.linalg.norm(res_c, axis=-1), compute_cost(
+            xu, cost.Q.astype(xu.dtype), cost.q.astype(xu.dtype)
+        )
