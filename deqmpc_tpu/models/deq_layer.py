@@ -1,0 +1,200 @@
+"""DEQ layers: fixed-point trajectory-proposal networks.
+
+Counterpart of the reference's `deqmpc/deq_layer.py` (base DEQLayer
+:32-264) and `deq_layer_utils.py` fixed-point wrappers (:120-190),
+re-designed functionally for JAX: flax modules are leaf blocks, the
+fixed-point solve runs through `.apply` closures so the Anderson loop
+is plain `lax.fori_loop` (no lifted transforms), and the whole layer
+jits inside the policy's training step.
+
+Gradient semantics ("phantom gradient", `deq_layer_utils.py:173-190`):
+the Anderson/Broyden solve runs under stop_gradient, then the cell is
+re-applied 3 times with gradients engaged — NOT implicit
+differentiation. `grad_type='bptt'` (unrolled) and 'last_step_grad'
+are also supported via fp_type='multi'/'single'.
+
+Decode convention (`deq_layer.py:81-90`): the network emits
+(T-1) x nx deltas; positions integrate from the *current* state
+(x_ref_pos = x0_pos + dq*dt), velocities are direct predictions, and
+the current observation is prepended as knot 0.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..solvers.fp import anderson, broyden
+from .blocks import (ConvCell, ConvInput, ConvOutput, GatedResidual, MLPCell,
+                     MLPInput, MLPOutput)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DEQLayerConfig:
+    nx: int
+    nu: int
+    nq: int
+    T: int
+    dt: float
+    hdim: int = 128
+    layer_type: str = "gcn"          # 'mlp' | 'gcn'
+    deq_iter: int = 6
+    fp_type: str = "anderson"         # 'anderson'|'broyden'|'single'|'multi'
+    inner_deq_iters: int = 4          # for fp_type='multi'
+    fp_m: int = 5                     # Anderson memory
+    fp_max_steps: int = 10            # (`train.py:93` --max_steps)
+    fp_tol: float = 1e-2
+    grad_type: str = "fp_grad"        # 'fp_grad'|'last_step_grad'|'bptt'
+    kernel_width: int = 3
+    deq_expand: int = 4
+    num_groups: int = 4
+
+
+class DEQLayer:
+    """Base DEQ layer: state-prediction output (deq_out_type=1)."""
+
+    def __init__(self, cfg: DEQLayerConfig):
+        self.cfg = cfg
+        c = cfg
+        self.out_dim = c.nx * (c.T - 1)
+        if c.layer_type == "mlp":
+            self.input_mod = MLPInput(hdim=c.hdim)
+            self.cell_mod = MLPCell(hdim=c.hdim, expand=c.deq_expand)
+            self.out_mod = MLPOutput(out_dim=self.out_dim)
+        elif c.layer_type == "gcn":
+            self.input_mod = ConvInput(
+                hdim=c.hdim, horizon=c.T - 1, kernel_width=c.kernel_width,
+                num_groups=c.num_groups,
+            )
+            self.cell_mod = ConvCell(
+                hdim=c.hdim, expand=c.deq_expand, kernel_width=c.kernel_width,
+                num_groups=c.num_groups,
+            )
+            self.out_mod = ConvOutput(
+                out_dim=c.nx, hdim=c.hdim, kernel_width=c.kernel_width,
+                num_groups=c.num_groups,
+            )
+        else:
+            raise NotImplementedError(c.layer_type)
+
+    # -- params ---------------------------------------------------------------
+    def init(self, rng: Array, bsz: int = 2) -> Dict[str, Any]:
+        c = self.cfg
+        r1, r2, r3 = jax.random.split(rng, 3)
+        obs = jnp.zeros((bsz, self._obs_dim()))
+        x_prev = jnp.zeros((bsz, c.T, c.nx))
+        inj = self._init_input(r1, obs, x_prev)
+        z = self.init_z(bsz)
+        params_cell = self.cell_mod.init(r2, inj["inj"], z)
+        z_out = self.cell_mod.apply(params_cell, inj["inj"], z)
+        params_out = self.out_mod.init(r3, z_out)
+        return {"input": inj["params"], "cell": params_cell, "out": params_out}
+
+    def _obs_dim(self):
+        return self.cfg.nx
+
+    def _init_input(self, rng, obs, x_prev):
+        c = self.cfg
+        if c.layer_type == "mlp":
+            p = self.input_mod.init(rng, x_prev.reshape(x_prev.shape[0], -1))
+            inj = self.input_mod.apply(p, x_prev.reshape(x_prev.shape[0], -1))
+        else:
+            p = self.input_mod.init(rng, x_prev[:, 1:], obs)
+            inj = self.input_mod.apply(p, x_prev[:, 1:], obs)
+        return {"params": p, "inj": inj}
+
+    def init_z(self, bsz: int) -> Array:
+        c = self.cfg
+        if c.layer_type == "mlp":
+            return jnp.zeros((bsz, c.hdim))
+        return jnp.zeros((bsz, c.T - 1, c.hdim))
+
+    # -- forward --------------------------------------------------------------
+    def _input(self, params, obs, x_prev, extra=()):
+        c = self.cfg
+        if c.layer_type == "mlp":
+            return self.input_mod.apply(params["input"], x_prev.reshape(x_prev.shape[0], -1))
+        return self.input_mod.apply(params["input"], x_prev[:, 1:], obs, extra)
+
+    def _fixed_point(self, params, inj, z):
+        """Run the fixed-point solve + gradient re-engagement. Returns
+        (z_out, stats)."""
+        c = self.cfg
+
+        def f(zz):
+            return self.cell_mod.apply(params["cell"], inj, zz)
+
+        stats = {"fwd_err": None, "fwd_steps": None}
+        if c.fp_type == "single":
+            return f(z), stats
+        if c.fp_type == "multi":
+            for i in range(c.inner_deq_iters):
+                if c.grad_type == "last_step_grad" and i < c.inner_deq_iters - 1:
+                    z = lax.stop_gradient(f(z))
+                else:
+                    z = f(z)
+            return z, stats
+        solver = anderson if c.fp_type == "anderson" else broyden
+        if c.fp_type == "anderson":
+            z_star, info = solver(
+                lambda zz: lax.stop_gradient(f(zz)), lax.stop_gradient(z),
+                m=c.fp_m, max_steps=c.fp_max_steps, tol=c.fp_tol,
+            )
+        else:
+            z_star, info = solver(
+                lambda zz: lax.stop_gradient(f(zz)), lax.stop_gradient(z),
+                max_steps=c.fp_max_steps, tol=c.fp_tol,
+            )
+        stats = {
+            "fwd_err": jnp.mean(info.best_err),
+            "fwd_steps": jnp.mean(info.best_step.astype(jnp.float32)),
+        }
+        # phantom gradient: 3 re-engaged applications
+        z = lax.stop_gradient(z_star)
+        for _ in range(2):
+            z = f(z)
+        return f(z), stats
+
+    def _decode(self, obs, x_prev, dx_ref):
+        """(T-1) x nx deltas -> x_ref (bsz, T, nx) with obs prepended."""
+        c = self.cfg
+        bsz = obs.shape[0]
+        dx_ref = dx_ref.reshape(bsz, c.T - 1, c.nx)
+        vel_ref = dx_ref[..., c.nq :]
+        dpos = dx_ref[..., : c.nq] * c.dt
+        pos = dpos + x_prev[..., :1, : c.nq]
+        x_tail = jnp.concatenate([pos, vel_ref], axis=-1)
+        x_ref = jnp.concatenate([obs[:, None, :], x_tail], axis=-2)
+        u_ref = jnp.zeros((bsz, c.T, c.nu), x_ref.dtype)
+        return x_ref, u_ref
+
+    def __call__(self, params, in_obs_dict: Dict[str, Array],
+                 in_aux_dict: Dict[str, Array]) -> Tuple[Dict, Dict]:
+        c = self.cfg
+        obs = in_obs_dict["o"]
+        x_prev, z = in_aux_dict["x"], in_aux_dict["z"]
+        it = in_aux_dict.get("iter", 0)
+        inj = self._input(params, obs, x_prev)
+        z_out, stats = self._fixed_point(params, inj, z)
+        dx_ref = self.out_mod.apply(params["out"], z_out)
+        x_ref, u_ref = self._decode(obs, x_prev, dx_ref)
+        out_mpc = {"x_t": obs, "x_ref": x_ref, "u_ref": u_ref}
+        out_aux = {
+            "x": x_ref, "u": u_ref, "z": z_out, "iter": it,
+            "deq_fwd_err": stats["fwd_err"], "deq_fwd_steps": stats["fwd_steps"],
+        }
+        return out_mpc, out_aux
+
+
+class FFDNetwork(DEQLayer):
+    """Feed-forward (non-DEQ) proposal network, deq_type='nn'
+    (`policies.py:923-1114`): same trunks, single un-accelerated cell
+    application, no hidden-state recurrence."""
+
+    def __init__(self, cfg: DEQLayerConfig):
+        super().__init__(dataclasses.replace(cfg, fp_type="single"))

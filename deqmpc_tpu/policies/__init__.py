@@ -1,0 +1,14 @@
+"""Policy layer: network + optimizer composition and losses (SURVEY.md §2.1)."""
+from .deqmpc_policy import DEQMPCPolicy, NNMPCPolicy, PolicyCarry, PolicyConfig
+from .losses import compute_cost_coeff, compute_loss_deqmpc
+from .tracking_mpc import TrackingMPC
+
+__all__ = [
+    "DEQMPCPolicy",
+    "NNMPCPolicy",
+    "PolicyCarry",
+    "PolicyConfig",
+    "TrackingMPC",
+    "compute_cost_coeff",
+    "compute_loss_deqmpc",
+]

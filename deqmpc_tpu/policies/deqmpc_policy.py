@@ -1,0 +1,202 @@
+"""DEQ-MPC policies: the outer network <-> optimizer iteration.
+
+Counterpart of the reference's `DEQMPCPolicy`
+(`/root/reference/deqmpc/policies.py:79-281`): N = deq_iter rounds of
+{network proposal -> AL tracking solve}, every round's
+(network-trajectory, optimizer-trajectory) pair is recorded for
+per-iteration supervision; a warm-start (streaming / receding-horizon)
+variant shifts the carried iterate one step and reuses solver duals
+(`policies.py:205-281`).
+
+Functional design: `forward(params, obs, ...)` returns
+(policy_out, carry) where carry is an explicit pytree (aux iterate +
+AL solver state) replacing the reference's module attributes
+(`self.out_aux_dict`, solver `lamda_prev/rho_prev`). The whole
+forward — including all deq_iter AL solves — is one jittable program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.deq_layer import DEQLayer, DEQLayerConfig, FFDNetwork
+from ..solvers import ALState
+from .tracking_mpc import TrackingMPC
+
+Array = jax.Array
+
+
+class PolicyCarry(NamedTuple):
+    """Streaming-mode carry: shifted network aux iterate + solver state."""
+
+    z: Array
+    x: Array
+    u: Array
+    solver: ALState
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyConfig:
+    nx: int
+    nu: int
+    nq: int
+    T: int
+    dt: float
+    bsz: int = 128
+    hdim: int = 128
+    layer_type: str = "gcn"
+    deq_iter: int = 6
+    deq_reg: float = 0.1
+    out_type: int = 1        # policy_out_type (`train.py:64`)
+    deq_out_type: int = 1
+    loss_type: str = "l1"
+    deq_type: str = "deq"    # 'deq' | 'nn'
+    fp_type: str = "anderson"
+    fp_max_steps: int = 10
+    fp_m: int = 5
+    grad_type: str = "fp_grad"
+    kernel_width: int = 3
+    al_iter: int = 2
+    solver_dtype: Any = jnp.float32
+    max_newton_steps: int = 4
+    rho_max: float = 1e8
+    rho_init_max: float = 1e4
+    dyn_res_tol: float = 1e-3
+
+
+class DEQMPCPolicy:
+    def __init__(self, cfg: PolicyConfig, env, obstacles=None):
+        self.cfg = cfg
+        self.env = env
+        self.nx, self.nu, self.nq, self.T = cfg.nx, cfg.nu, cfg.nq, cfg.T
+        self.out_type = cfg.out_type
+        self.loss_type = cfg.loss_type
+        self.deq_reg = cfg.deq_reg
+        self.deq_iter = cfg.deq_iter
+        mcfg = DEQLayerConfig(
+            nx=cfg.nx, nu=cfg.nu, nq=cfg.nq, T=cfg.T, dt=cfg.dt,
+            hdim=cfg.hdim, layer_type=cfg.layer_type, deq_iter=cfg.deq_iter,
+            fp_type=cfg.fp_type, fp_m=cfg.fp_m, fp_max_steps=cfg.fp_max_steps,
+            grad_type=cfg.grad_type, kernel_width=cfg.kernel_width,
+        )
+        self.model = FFDNetwork(mcfg) if cfg.deq_type == "nn" else self._make_model(mcfg)
+        self.tracking_mpc = TrackingMPC(
+            env, cfg.T, al_iter=cfg.al_iter, dtype=cfg.solver_dtype,
+            max_newton_steps=cfg.max_newton_steps, rho_max=cfg.rho_max,
+            dyn_res_tol=cfg.dyn_res_tol, obstacles=obstacles,
+        )
+
+    def _make_model(self, mcfg):
+        return DEQLayer(mcfg)
+
+    def init(self, rng: Array) -> Dict:
+        return self.model.init(rng)
+
+    # -- cold-start forward (`policies.py:107-203`) ---------------------------
+    def forward(self, params, obs: Array, qp_solve: bool = True,
+                lastqp_solve: bool = False) -> Tuple[Dict, PolicyCarry]:
+        cfg = self.cfg
+        bsz = obs.shape[0]
+        x_ref = jnp.broadcast_to(obs[:, None], (bsz, self.T, self.nx))
+        u_ref = jnp.zeros((bsz, self.T, self.nu), obs.dtype)
+        aux = {
+            "x": lax.stop_gradient(x_ref),
+            "u": u_ref,
+            "z": self.model.init_z(bsz),
+        }
+        sol_state = self.tracking_mpc.init_state(bsz)
+        policy_out, carry = self._deqmpc_iter(
+            params, obs, aux, sol_state, qp_solve, lastqp_solve,
+            warm_start=False,
+        )
+        policy_out["init_states"] = x_ref
+        return policy_out, carry
+
+    # -- streaming forward (`policies.py:205-259`) ----------------------------
+    def forward_warm_start(self, params, obs: Array, carry: PolicyCarry,
+                           qp_solve: bool = True, lastqp_solve: bool = False
+                           ) -> Tuple[Dict, PolicyCarry]:
+        aux = {"x": carry.x, "u": carry.u, "z": carry.z}
+        sol_state = carry.solver
+        policy_out, new_carry = self._deqmpc_iter(
+            params, obs, aux, sol_state, qp_solve, lastqp_solve,
+            warm_start=True,
+        )
+        policy_out["init_states"] = carry.x
+        return policy_out, new_carry
+
+    def _deqmpc_iter(self, params, obs, aux, sol_state, qp_solve,
+                     lastqp_solve, warm_start: bool):
+        cfg = self.cfg
+        trajs = []
+        fwd_errs, fwd_steps = [], []
+        status = jnp.zeros((obs.shape[0],), bool)
+        x_t = obs
+        x_ref, u_ref = aux["x"], aux["u"]
+        for i in range(self.deq_iter):
+            it = i + 2 if warm_start else i
+            out_mpc, aux = self.model(params, {"o": obs}, {**aux, "iter": it})
+            x_t, x_ref, u_ref = out_mpc["x_t"], out_mpc["x_ref"], out_mpc["u_ref"]
+            if warm_start and i == 0:
+                # shift duals/primal for the receding-horizon step
+                # (`policies.py:230`, `AL_mpc.py:581-591`)
+                sol_state = self.tracking_mpc.warm_start_state(
+                    sol_state, cfg.rho_init_max
+                )
+            ns, na = x_ref, u_ref
+            if qp_solve:
+                ns, na, status, sol_state = self.tracking_mpc(
+                    x_t, x_ref, u_ref, sol_state, al_iters=cfg.al_iter,
+                    streaming=warm_start,
+                )
+                aux = {**aux, "x": ns, "u": na}
+            if lastqp_solve:
+                trajs.append((x_ref, lax.stop_gradient(ns), lax.stop_gradient(na)))
+            else:
+                trajs.append((x_ref, ns, na))
+            if aux.get("deq_fwd_err") is not None:
+                fwd_errs.append(aux["deq_fwd_err"])
+                fwd_steps.append(aux["deq_fwd_steps"])
+        if lastqp_solve:
+            ns, na, status, sol_state = self.tracking_mpc(
+                x_t, x_ref, u_ref, sol_state, al_iters=10,
+            )
+            trajs[-1] = (x_ref, ns, na)
+        carry = self._save_carry(aux, sol_state)
+        policy_out = {"trajs": trajs, "status": status}
+        if fwd_errs:
+            policy_out["deq_stats"] = {
+                "fwd_err": jnp.stack(fwd_errs),
+                "fwd_steps": jnp.stack(fwd_steps),
+            }
+        return policy_out, carry
+
+    def _save_carry(self, aux, sol_state) -> PolicyCarry:
+        """Receding-horizon shift of the carried iterate
+        (`policies.py:272-281`): roll z/x/u left one step, repeat the
+        last entry."""
+
+        def shift(a):
+            if a.ndim >= 2 and a.shape[1] == self.T:
+                return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            return a
+
+        return PolicyCarry(
+            z=lax.stop_gradient(shift(aux["z"]) if aux["z"].ndim == 3 else aux["z"]),
+            x=lax.stop_gradient(shift(aux["x"])),
+            u=lax.stop_gradient(shift(aux["u"])),
+            solver=sol_state,
+        )
+
+
+class NNMPCPolicy(DEQMPCPolicy):
+    """Feed-forward network + optional final AL solve
+    (`policies.py:1317-1377`)."""
+
+    def __init__(self, cfg: PolicyConfig, env, obstacles=None):
+        cfg = dataclasses.replace(cfg, deq_type="nn", deq_iter=1)
+        super().__init__(cfg, env, obstacles=obstacles)

@@ -1,0 +1,94 @@
+"""Tracking MPC adapter: network reference -> quadratic tracking cost
+-> AL solver.
+
+Counterpart of the reference's `Tracking_MPC`
+(`/root/reference/deqmpc/policies.py:1117-1315`): builds the diagonal
+cost Q = diag([Qlqr, Rlqr]) per knot point, the linear term
+p = -Q * xu_ref and constant f = 0.5 xu_ref'Q xu_ref (compute_pf
+:1285-1297), optionally scales Q by the network's per-knot-point
+q_scaling (:1245-1248), and calls the AL solver. Gradients reach the
+network through p (and Q for the q-scaling variant) via the Newton
+solve's implicit custom_vjp.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solvers import ALMPC, ALState, QuadCost
+from ..solvers.al_core import ObstacleSet
+
+Array = jax.Array
+
+
+class TrackingMPC:
+    def __init__(self, env, T: int, al_iter: int = 2,
+                 state_estimator: bool = False,
+                 dtype=jnp.float32, max_newton_steps: int = 4,
+                 rho_max: float = 1e8, dyn_res_tol: float = 1e-3,
+                 obstacles: Optional[ObstacleSet] = None, n_obs_sel: int = 4):
+        self.env = env
+        self.nx, self.nu, self.T = env.nx, env.nu, T
+        self.dtype = dtype
+        self.state_estimator = state_estimator
+        Q = np.concatenate([np.asarray(env.Qlqr), np.asarray(env.Rlqr)])
+        if state_estimator:
+            # MHE flavor: cost only on states (`al_utils_se.py:16-41`)
+            Q = np.concatenate([np.asarray(env.Qlqr), np.zeros(env.nu)])
+        self.Q0 = jnp.asarray(Q, dtype)  # (n,) diagonal template
+
+        def dyn(x, u):
+            return env.dynamics(x, u)
+
+        def dyn_jac(x, u):
+            xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+            return xn, jnp.concatenate([Jx, Ju], axis=-1)
+
+        self.ctrl = ALMPC(
+            self.nx, self.nu, T,
+            u_lower=env.action_space.low, u_upper=env.action_space.high,
+            dyn=dyn, dyn_jac=dyn_jac, al_iter=al_iter,
+            state_estimator=state_estimator, dtype=dtype,
+            max_newton_steps=max_newton_steps, rho_max=rho_max,
+            dyn_res_tol=dyn_res_tol,
+            obstacles=obstacles, n_obs_sel=n_obs_sel,
+        )
+
+    def init_state(self, bsz: int) -> ALState:
+        """reinitialize (`policies.py:1299-1303`)."""
+        return self.ctrl.init_state(bsz)
+
+    def warm_start_state(self, state: ALState, rho_init_max: float) -> ALState:
+        return self.ctrl.warm_start_shift(state, rho_init_max)
+
+    def compute_pf(self, xu_ref: Array, Q: Array) -> Tuple[Array, Array]:
+        """p = -Q*xu_ref (diag), f = 0.5 xu_ref'Q xu_ref
+        (`policies.py:1285-1297`)."""
+        p = -Q * xu_ref
+        f = 0.5 * jnp.sum(xu_ref * Q * xu_ref, axis=-1)
+        return p, f
+
+    def __call__(self, x0: Array, x_ref: Array, u_ref: Array, state: ALState,
+                 q_scaling: Optional[Array] = None, al_iters: int = 2,
+                 streaming: bool = False):
+        """Returns (nominal_states, nominal_actions, status, new_state),
+        states/actions cast back to the network dtype (f32)."""
+        bsz = x0.shape[0]
+        net_dtype = x_ref.dtype
+        xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1).astype(self.dtype)
+        Q = jnp.broadcast_to(self.Q0, (bsz, self.T, self.nx + self.nu))
+        if q_scaling is not None:
+            # reference adds 1: Q * (q_scaling + 1) (`policies.py:1245-1248`)
+            Q = Q * (q_scaling.astype(self.dtype) + 1.0)[:, :, None]
+        p, f = self.compute_pf(xu_ref, Q)
+        cost = QuadCost(Q=Q, q=p, f=f)
+        if self.ctrl._all_obstacles is not None:
+            self.ctrl.select_obstacles(x_ref)
+        x, u, status, new_state = self.ctrl.solve(
+            x0, cost, state, al_iter=al_iters,
+            x_init=x_ref, u_init=u_ref, streaming=streaming,
+        )
+        return x.astype(net_dtype), u.astype(net_dtype), status, new_state
