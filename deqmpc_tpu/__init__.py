@@ -23,3 +23,22 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compile cache: the solver graphs (jacfwd-of-RK4 inside
+# Newton while_loops) take 1-5 min to compile on the TPU toolchain;
+# caching makes every later invocation start in seconds. Opt out with
+# DEQMPC_NO_COMPILE_CACHE=1.
+if not _os.environ.get("DEQMPC_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "DEQMPC_COMPILE_CACHE", _os.path.expanduser("~/.cache/deqmpc_jax")
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass

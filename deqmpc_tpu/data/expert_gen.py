@@ -1,0 +1,165 @@
+"""Expert-trajectory generation: the AL solver as the MPC teacher.
+
+The reference trains from expert pickles produced by SAC/CGAC/MPC
+teachers that are not in the public release (`datagen.py:15-29`,
+SURVEY.md §0). We regenerate them with a receding-horizon MPC expert
+built from this framework's own AL solver (the controllable path,
+SURVEY.md §7 stage 3): long-horizon tracking of the env's target,
+warm-started step to step, applying the first control.
+
+Usage:
+    python -m deqmpc_tpu.data.expert_gen --env pendulum --episodes 256
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs import make_env
+from ..policies.tracking_mpc import TrackingMPC
+from .datagen import DATA_DIR, expert_data_path
+
+
+def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
+                        horizon: int = 30, seed: int = 0,
+                        al_iters: int = 2, rho_init_max: float = 1e2,
+                        dtype=jnp.float32):
+    """Closed-loop batched MPC rollouts. Returns a list of episodes,
+    each a list of (state, action) tuples (reference pickle format)."""
+    bsz = n_episodes
+    tracking = TrackingMPC(env, horizon, al_iter=al_iters, dtype=dtype,
+                           max_newton_steps=6, rho_max=1e8)
+    targ = jnp.asarray(env.targ_pos, jnp.float32)
+    x_ref_tile = jnp.broadcast_to(targ, (bsz, horizon, env.nx))
+    u_ref_tile = jnp.zeros((bsz, horizon, env.nu), jnp.float32)
+
+    @jax.jit
+    def rollout(x0, sol_state0):
+        def body(carry, _):
+            x, sol_state = carry
+            xs, us, status, sol_state = tracking(
+                x.astype(jnp.float32), x_ref_tile, u_ref_tile, sol_state,
+                al_iters=al_iters,
+            )
+            u0 = jnp.clip(
+                us[:, 0],
+                jnp.asarray(env.action_space.low),
+                jnp.asarray(env.action_space.high),
+            )
+            x_next, _ = env.step(x, u0)
+            sol_state = tracking.warm_start_state(sol_state, rho_init_max)
+            return (x_next, sol_state), (x, u0)
+
+        (_, _), (xs, us) = jax.lax.scan(body, (x0, sol_state0), None, length=ep_len)
+        return xs, us
+
+    rng = jax.random.PRNGKey(seed)
+    x0 = env.reset(rng, bsz)
+    xs, us = rollout(x0, tracking.init_state(bsz))
+    states = np.moveaxis(np.asarray(xs), 0, 1)   # (bsz, ep_len, nx)
+    actions = np.moveaxis(np.asarray(us), 0, 1)
+    # drop lanes that went non-finite
+    ok = np.isfinite(states).all(axis=(1, 2)) & np.isfinite(actions).all(axis=(1, 2))
+    episodes = []
+    for b in np.nonzero(ok)[0]:
+        episodes.append(
+            [(states[b, t], actions[b, t]) for t in range(ep_len)]
+        )
+    return episodes
+
+
+def generate_pendulum_energy_expert(env, n_episodes: int = 256,
+                                    ep_len: int = 200, seed: int = 0,
+                                    k_e: float = 1.0, k_p: float = 30.0,
+                                    k_d: float = 6.0,
+                                    noise_std: float = 0.05):
+    """Energy-shaping swing-up + PD capture for the torque-limited
+    pendulum (theta = 0 down, target pi up). The short-horizon MPC
+    expert gets stuck in the hanging local minimum (the reference used
+    a SAC teacher for pendulum, `datagen.py:16`); the classic
+    energy-pump law u = k_e * (E* - E) * sign(thetadot) with a PD
+    capture near the top is the analytic teacher. Small exploration
+    noise diversifies the dataset."""
+    m, l, g = env.m, env.l, env.g
+    E_des = 2 * m * g * l  # potential at upright: m g l (1 - cos(pi))
+    u_max = float(env.max_torque)
+
+    def expert_u(x, key):
+        theta, thetadot = x[..., 0], x[..., 1]
+        E = 0.5 * m * l**2 * thetadot**2 + m * g * l * (1 - jnp.cos(theta))
+        # angle error to the nearest upright representation
+        err = jnp.mod(theta - jnp.pi + jnp.pi, 2 * jnp.pi) - jnp.pi
+        # PD capture only where +-u_max can dominate gravity
+        # (linearized upright growth rate g/l): |err| < ~0.15
+        near_top = jnp.logical_and(jnp.abs(err) < 0.15, jnp.abs(thetadot) < 2.5)
+        u_pump = k_e * (E_des - E) * jnp.sign(
+            jnp.where(jnp.abs(thetadot) < 1e-3, 1.0, thetadot)
+        )
+        u_pd = -k_p * err - k_d * thetadot
+        u = jnp.where(near_top, u_pd, u_pump)
+        u = u + noise_std * jax.random.normal(key, u.shape)
+        return jnp.clip(u, -u_max, u_max)[..., None]
+
+    rng = jax.random.PRNGKey(seed)
+    rng, r0 = jax.random.split(rng)
+    x0 = env.reset(r0, n_episodes)
+
+    @jax.jit
+    def rollout(x0, key):
+        def body(x, k):
+            u = expert_u(x, k)
+            x_next, _ = env.step(x, u)
+            return x_next, (x, u)
+
+        keys = jax.random.split(key, ep_len)
+        _, (xs, us) = jax.lax.scan(body, x0, keys)
+        return xs, us
+
+    xs, us = rollout(x0, rng)
+    states = np.moveaxis(np.asarray(xs), 0, 1)   # (bsz, ep_len, nx)
+    actions = np.moveaxis(np.asarray(us), 0, 1)
+    episodes = [
+        [(states[b, t], actions[b, t]) for t in range(ep_len)]
+        for b in range(n_episodes)
+    ]
+    return episodes
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", type=str, default="pendulum")
+    p.add_argument("--episodes", type=int, default=256)
+    p.add_argument("--ep_len", type=int, default=200)
+    p.add_argument("--horizon", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--teacher", type=str, default="mpc")
+    args = p.parse_args()
+
+    env = make_env(args.env)
+    if args.env.startswith("pendulum") and not args.env.endswith("stabilize"):
+        episodes = generate_pendulum_energy_expert(
+            env, n_episodes=args.episodes, ep_len=args.ep_len, seed=args.seed,
+        )
+    else:
+        episodes = generate_mpc_expert(
+            env, n_episodes=args.episodes, ep_len=args.ep_len,
+            horizon=args.horizon, seed=args.seed,
+        )
+    os.makedirs(DATA_DIR, exist_ok=True)
+    path = expert_data_path(env.spec_id, args.teacher)
+    with open(path, "wb") as f:
+        pickle.dump(episodes, f)
+    # quick quality report: mean final distance to target
+    finals = np.stack([ep[-1][0] for ep in episodes])
+    d = np.linalg.norm(finals - np.asarray(env.targ_pos), axis=-1)
+    print(f"wrote {len(episodes)} episodes to {path}")
+    print(f"final |x - targ|: mean {d.mean():.3f} median {np.median(d):.3f}")
+
+
+if __name__ == "__main__":
+    main()

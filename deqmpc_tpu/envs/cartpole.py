@@ -65,7 +65,7 @@ class CartpoleEnv(Env):
         # static lower/upper-triangular masks used by the tip Jacobians
         n = self.n_links
         self._L = np.tril(np.ones((n, n)))  # L[i,j] = [j <= i]
-        self._U = np.triu(np.ones((n, n)))  # U[j,k] = [j >= k]
+        self._U = np.tril(np.ones((n, n)))  # U[j,k] = [j >= k]
 
     # -- closed-form manipulator quantities -----------------------------------
     def _tip_jacobians(self, q):

@@ -179,7 +179,10 @@ class ALMPC:
             lam_next = jnp.concatenate(
                 [lam_next[:, :neq], jnp.maximum(lam_next[:, neq:], 0.0)], axis=1
             )
-            rho_next = rho * 10.0
+            # cap the penalty (the reference relies on f64 headroom and
+            # only exits on rho_max in streaming, `AL_mpc.py:412`; in f32
+            # an uncapped rho overflows the merit)
+            rho_next = jnp.minimum(rho * 10.0, self.rho_max)
             if streaming:
                 lam = jnp.where(stopped, lam, lam_next)
                 rho = jnp.where(stopped, rho, rho_next)

@@ -94,14 +94,15 @@ def make_newton_al(cfg: NewtonALConfig, dyn: Callable, dyn_jac: Callable,
             obs=obs, state_estimator=cfg.state_estimator, dyn_eq_res=r_eq,
         )
 
-    def _solve_newton_system(g, D, O):
+    def _factor_with_fallback(g, D, O):
+        """Factor + solve H x = -g with a strongly-jittered retry on
+        non-finite results (replaces the reference's dense
+        linalg.solve fallback, `al_utils.py:517-521`)."""
         fac = block_tridiag_factor(D, O, jitter=cfg.chol_jitter)
         upd = -block_tridiag_solve_factored(fac, g)
         bad = jnp.logical_not(jnp.all(jnp.isfinite(upd)))
 
         def refactor(_):
-            # strongly-regularized retry (replaces the reference's dense
-            # linalg.solve fallback, `al_utils.py:517-521`)
             scale = jnp.maximum(
                 jnp.max(jnp.abs(D), axis=(-3, -2, -1), keepdims=True), 1.0
             )
@@ -111,8 +112,9 @@ def make_newton_al(cfg: NewtonALConfig, dyn: Callable, dyn_jac: Callable,
             )
             return -block_tridiag_solve_factored(fac2, g), fac2
 
-        upd, fac = lax.cond(bad, refactor, lambda _: (upd, fac), None)
-        return upd, fac
+        return lax.cond(bad, refactor, lambda _: (upd, fac), None)
+
+    _solve_newton_system = _factor_with_fallback
 
     def _line_search(xu, update, merit_now, Q, q, x0, lam, rho, obs):
         """20 parallel step sizes 2^{0..-19}; keep the best improving
@@ -178,8 +180,9 @@ def make_newton_al(cfg: NewtonALConfig, dyn: Callable, dyn_jac: Callable,
 
         xu_f, _, _, _, _, status, _, _ = lax.while_loop(cond, body, carry0)
         # factorization at the solution, reused by the implicit backward
+        # (with the same non-finite fallback as the Newton solves)
         g, D, O, _, _ = _assemble(xu_f, Q, q, x0, lam, rho, obs)
-        fac = block_tridiag_factor(D, O, jitter=cfg.chol_jitter)
+        _, fac = _factor_with_fallback(g, D, O)
         return xu_f, status, fac
 
     @jax.custom_vjp
@@ -195,6 +198,10 @@ def make_newton_al(cfg: NewtonALConfig, dyn: Callable, dyn_jac: Callable,
         fac, x_out, xu, x0, lam, rho = saved
         g_out, _ = cots  # status cotangent ignored
         dx = -block_tridiag_solve_factored(fac, g_out)
+        # scrub rare per-sample solver failures instead of poisoning the
+        # whole batch gradient (the reference exposes a status mask and
+        # NaN-grad trap instead, `al_utils.py:545-549`, `train.py:331`)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         dQ = dx * x_out   # diagonal-cost gradient (`al_utils.py:595-597`)
         dq = dx
         return (

@@ -1,0 +1,107 @@
+"""Evaluation: closed-loop rollout of a trained policy + parameter
+sensitivity.
+
+Reconstructs the reference's missing `deqmpc/eval.py`
+(`eval_policy`, `check_param_sensitivity` — interfaces fixed at
+`train.py:258-263`): roll the policy in the environment with
+receding-horizon warm starts, report tracking error / reward /
+success statistics.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..policies import compute_loss_deqmpc
+
+
+def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
+                ep_len: int = 100, seed: int = 0,
+                warm_start: bool = True) -> Dict[str, float]:
+    """Closed-loop evaluation: at each env step run the policy forward
+    (cold start on step 0, warm-started after), apply the first
+    nominal action."""
+    rng = jax.random.PRNGKey(seed)
+    x = env.reset(rng, n_episodes)
+
+    @jax.jit
+    def first_step(params, x):
+        policy_out, carry = policy.forward(
+            params, x.astype(jnp.float32), qp_solve=args.qp_solve,
+            lastqp_solve=args.lastqp_solve,
+        )
+        _, opt_states, actions = policy_out["trajs"][-1]
+        return actions[:, 0], carry
+
+    @jax.jit
+    def warm_step(params, x, carry):
+        policy_out, carry = policy.forward_warm_start(
+            params, x.astype(jnp.float32), carry, qp_solve=args.qp_solve,
+            lastqp_solve=args.lastqp_solve,
+        )
+        _, opt_states, actions = policy_out["trajs"][-1]
+        return actions[:, 0], carry
+
+    rewards = []
+    xs = []
+    carry = None
+    for t in range(ep_len):
+        if t == 0 or not warm_start:
+            u0, carry = first_step(params, x)
+        else:
+            u0, carry = warm_step(params, x, carry)
+        x, r = env.step(x, u0)
+        rewards.append(np.asarray(r))
+        xs.append(np.asarray(x))
+    xs = np.stack(xs, axis=1)          # (bsz, ep_len, nx)
+    rewards = np.stack(rewards, axis=1)
+    targ = np.asarray(env.targ_pos)
+    final_dist = np.linalg.norm(xs[:, -1] - targ, axis=-1)
+    # success: final state within 0.25 of the target (position part)
+    nq = min(getattr(env, "nq", env.nx // 2), env.nx)
+    success = np.linalg.norm(xs[:, -1, :nq] - targ[:nq], axis=-1) < 0.25
+    return {
+        "mean_reward": float(np.nanmean(rewards)),
+        "final_dist_mean": float(np.nanmean(final_dist)),
+        "final_dist_median": float(np.nanmedian(final_dist)),
+        "success_rate": float(np.mean(success)),
+        "n_nan_episodes": int(np.sum(~np.isfinite(xs[:, -1]).all(axis=-1))),
+    }
+
+
+def check_param_sensitivity(args, env, policy, params, gt_batch,
+                            scales=(0.01, 0.03, 0.1), seed: int = 0
+                            ) -> Dict[str, float]:
+    """Perturb parameters with Gaussian noise at several relative
+    scales and measure the imitation-loss degradation (reference
+    `check_param_sensitivity`, interface at `train.py:261-263`)."""
+    rng = jax.random.PRNGKey(seed)
+    obs = gt_batch["obs"][:, -1] if gt_batch["obs"].ndim == 3 else gt_batch["obs"]
+
+    def loss_of(p):
+        policy_out, _ = policy.forward(
+            p, jnp.asarray(obs), qp_solve=args.qp_solve,
+            lastqp_solve=args.lastqp_solve,
+        )
+        d = compute_loss_deqmpc(
+            policy, jnp.asarray(gt_batch["state"]), jnp.asarray(gt_batch["action"]),
+            jnp.asarray(gt_batch["mask"]), policy_out,
+        )
+        return float(d["loss"])
+
+    base = loss_of(params)
+    out = {"base_loss": base}
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    for s in scales:
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, len(leaves))
+        noisy = [
+            l + s * jnp.std(l) * jax.random.normal(k, l.shape)
+            if jnp.issubdtype(l.dtype, jnp.floating) else l
+            for l, k in zip(leaves, keys)
+        ]
+        out[f"loss_at_{s}"] = loss_of(jax.tree_util.tree_unflatten(treedef, noisy))
+    return out

@@ -1,0 +1,438 @@
+"""Training CLI: imitation learning of DEQ-MPC policies.
+
+Counterpart of the reference's `deqmpc/train.py` (flag surface
+:36-104, model_type presets :108-139, train loop :293-336) and of the
+missing `fwd_funcs.py` (`global_fwd`/`streaming_fwd`/`validate_policy`,
+interfaces fixed by `train.py:319-325,358`).
+
+TPU-native structure: sampling runs host-side; one jitted
+`train_step(params, opt_state, batch)` contains the full
+{deq_iter x (network -> AL solve)} forward, the per-iteration loss,
+backward through the implicit solver gradients, gradient clipping and
+the Adam update. With a sharded batch axis this same function is the
+multi-chip data-parallel step (see `deqmpc_tpu/parallel`).
+
+Example:
+    python -m deqmpc_tpu.training.train --env pendulum \
+        --model_type deq-mpc-deq --T 5 --deq_iter 6 --hdim 256 --bsz 128
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import utils
+from ..data import get_gt_data, merge_gt_data, sample_trajectory
+from ..envs import make_env
+from ..policies import DEQMPCPolicy, NNMPCPolicy, PolicyConfig, compute_loss_deqmpc
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """Flag surface mirrors the reference CLI (`train.py:36-104`)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", type=str, default="pendulum",
+                   choices=["pendulum", "pendulum_stabilize", "integrator",
+                            "cartpole1link", "cartpole2link", "rexquadrotor",
+                            "FlyingCartpole", "FlyingCartpole_obstacles"])
+    p.add_argument("--nq", type=int, default=-1)
+    p.add_argument("--T", type=int, default=5)
+    p.add_argument("--H", type=int, default=1)
+    p.add_argument("--qp_iter", type=int, default=1)
+    p.add_argument("--eps", type=float, default=1e-2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warm_start", type=bool, default=True)
+    p.add_argument("--bsz", type=int, default=128)
+    p.add_argument("--deq", action="store_true")
+    p.add_argument("--hdim", type=int, default=128)
+    p.add_argument("--deq_iter", type=int, default=6)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--layer_type", type=str, default="gcn")
+    p.add_argument("--kernel_width", type=int, default=3)
+    p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--model_type", type=str, default="deq-mpc-deq",
+                   choices=["deq-mpc-deq", "deq", "nn", "diff-mpc-deq",
+                            "diff-mpc-nn", "deq-mpc-nn"])
+    p.add_argument("--lastqp_solve", action="store_true")
+    p.add_argument("--qp_solve", action="store_true")
+    p.add_argument("--pooling", type=str, default="sum")
+    p.add_argument("--solver_type", type=str, default="al")
+    p.add_argument("--dtype", type=str, default="float32",
+                   help="solver dtype; 'double' needs CPU or jax_enable_x64")
+    p.add_argument("--deq_out_type", type=int, default=1)
+    p.add_argument("--policy_out_type", type=int, default=1)
+    p.add_argument("--loss_type", type=str, default="l1")
+    p.add_argument("--deq_reg", type=float, default=0.1)
+    p.add_argument("--grad_coeff", action="store_true")
+    p.add_argument("--num_trajs_frac", type=float, default=1.0)
+    p.add_argument("--rho_init_max", type=float, default=1e4)
+    p.add_argument("--rho_max", type=float, default=None,
+                   help="penalty cap; default 1e5 (f32) / 1e8 (double)")
+    p.add_argument("--max_train_steps", type=int, default=20000)
+    p.add_argument("--val_every", type=int, default=100)
+    # DEQ specifics
+    p.add_argument("--fp_type", type=str, default="anderson",
+                   choices=["single", "multi", "broyden", "anderson"])
+    p.add_argument("--inner_deq_iters", type=int, default=4)
+    p.add_argument("--grad_type", type=str, default="fp_grad")
+    p.add_argument("--addmem", action="store_true")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--streaming_steps", type=int, default=3)
+    p.add_argument("--streaming_start_iter", type=int, default=0)
+    p.add_argument("--deq_type", type=str, default="deq", choices=["deq", "nn"])
+    p.add_argument("--Qscale", type=float, default=1.0)
+    p.add_argument("--m", type=int, default=5)
+    p.add_argument("--max_steps", type=int, default=10)
+    p.add_argument("--teacher", type=str, default="mpc")
+    # loading / eval
+    p.add_argument("--load", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--start_iter", type=int, default=-1)
+    p.add_argument("--logdir", type=str, default="./logs")
+    p.add_argument("--models_dir", type=str, default="./model")
+    return p
+
+
+def apply_model_type_presets(args):
+    """`train.py:108-139`."""
+    mt = args.model_type
+    if mt == "deq-mpc-deq":
+        args.deq, args.qp_solve, args.lastqp_solve = True, True, False
+    elif mt == "deq-mpc-nn":
+        args.deq, args.qp_solve, args.lastqp_solve = True, True, False
+        args.deq_type = "nn"
+    elif mt == "deq":
+        args.deq, args.qp_solve, args.lastqp_solve = True, False, False
+        args.deq_iter = 1
+    elif mt == "nn":
+        args.deq, args.qp_solve, args.lastqp_solve = False, False, False
+        args.deq_iter = 1
+    elif mt == "diff-mpc-deq":
+        args.deq, args.qp_solve, args.lastqp_solve = True, False, True
+        args.deq_iter = 1
+    elif mt == "diff-mpc-nn":
+        args.deq, args.qp_solve, args.lastqp_solve = True, False, True
+        args.deq_iter = 1
+        args.deq_type = "nn"
+    return args
+
+
+def build_policy(args, env, obstacles=None):
+    nq = args.nq if args.nq > 0 else env.nq if env.nq <= env.nx // 2 else env.nx // 2
+    solver_dtype = jnp.float64 if args.dtype == "double" else jnp.float32
+    rho_max = args.rho_max
+    if rho_max is None:
+        rho_max = 1e8 if args.dtype == "double" else 1e5
+    cfg = PolicyConfig(
+        nx=env.nx, nu=env.nu, nq=min(nq, env.nx // 2), T=args.T, dt=env.dt,
+        bsz=args.bsz, hdim=args.hdim, layer_type=args.layer_type,
+        deq_iter=args.deq_iter, deq_reg=args.deq_reg,
+        out_type=args.policy_out_type, deq_out_type=args.deq_out_type,
+        loss_type=args.loss_type, deq_type=args.deq_type,
+        fp_type=args.fp_type, fp_max_steps=int(args.max_steps), fp_m=args.m,
+        grad_type=args.grad_type, kernel_width=args.kernel_width,
+        al_iter=2, solver_dtype=solver_dtype,
+        rho_init_max=args.rho_init_max, rho_max=rho_max,
+    )
+    if args.deq:
+        return DEQMPCPolicy(cfg, env, obstacles=obstacles)
+    return NNMPCPolicy(cfg, env, obstacles=obstacles)
+
+
+def unnormalize_for_env(env_name, x):
+    if env_name.startswith("pendulum"):
+        return utils.unnormalize_states_pendulum(x)
+    if "cartpole" in env_name and "Flying" not in env_name:
+        return utils.unnormalize_states_cartpole_nlink(x)
+    if "FlyingCartpole" in env_name:
+        return utils.unnormalize_states_flyingcartpole(x)
+    return x
+
+
+def make_train_step(policy, optimizer, args):
+    """One jitted training step (`global_fwd` + backward + Adam)."""
+
+    qp_solve, lastqp_solve = args.qp_solve, args.lastqp_solve
+
+    def loss_fn(params, batch, coeffs):
+        obs = batch["obs"][:, -1] if batch["obs"].ndim == 3 else batch["obs"]
+        policy_out, carry = policy.forward(
+            params, obs, qp_solve=qp_solve, lastqp_solve=lastqp_solve
+        )
+        d = compute_loss_deqmpc(
+            policy, batch["state"], batch["action"], batch["mask"],
+            policy_out, coeffs=coeffs, x_init=policy_out["init_states"],
+        )
+        aux = {k: d[k] for k in
+               ("loss_end", "losses_iter", "losses_iter_opt", "losses_iter_nn")}
+        if "deq_stats" in policy_out:
+            aux["deq_fwd_err"] = policy_out["deq_stats"]["fwd_err"]
+            aux["deq_fwd_steps"] = policy_out["deq_stats"]["fwd_steps"]
+        return d["loss"], aux
+
+    @jax.jit
+    def train_step(params, opt_state, batch, coeffs):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, coeffs
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, loss, aux, gnorm
+
+    return train_step, loss_fn
+
+
+def make_streaming_train_step(policy, optimizer, args):
+    """Streaming mode (`streaming_fwd`, `train.py:323-325`): one
+    cold-start forward + L warm-started receding-horizon forwards on
+    successive windows; losses summed."""
+    L = args.streaming_steps
+    T = args.T
+    qp_solve = args.qp_solve
+
+    def loss_fn(params, batch, coeffs):
+        total = 0.0
+        aux = {}
+        obs = batch["obs"][:, -1] if batch["obs"].ndim == 3 else batch["obs"]
+        policy_out, carry = policy.forward(params, obs, qp_solve=qp_solve)
+        d = compute_loss_deqmpc(
+            policy, batch["state"][:, :T], batch["action"][:, :T],
+            batch["mask"][:, :T], policy_out, coeffs=coeffs,
+            x_init=policy_out["init_states"],
+        )
+        total = d["loss"]
+        loss_ends = [d["loss_end"]]
+        for l in range(1, L + 1):
+            obs_l = batch["state"][:, l]
+            policy_out, carry = policy.forward_warm_start(
+                params, obs_l, carry, qp_solve=qp_solve
+            )
+            d = compute_loss_deqmpc(
+                policy, batch["state"][:, l : l + T], batch["action"][:, l : l + T],
+                batch["mask"][:, l : l + T], policy_out, coeffs=None,
+            )
+            total = total + d["loss"]
+            loss_ends.append(d["loss_end"])
+        aux["loss_end"] = jnp.stack(loss_ends).mean()
+        aux["losses_iter"] = d["losses_iter"]
+        aux["losses_iter_opt"] = d["losses_iter_opt"]
+        aux["losses_iter_nn"] = d["losses_iter_nn"]
+        return total, aux
+
+    @jax.jit
+    def train_step(params, opt_state, batch, coeffs):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, coeffs
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, loss, aux, gnorm
+
+    return train_step, loss_fn
+
+
+_VAL_CACHE = {}
+
+
+def validate_policy(policy, loss_fn, params, val_samples, coeffs):
+    """(`validate_policy` interface, `train.py:358`)."""
+    jitted = _VAL_CACHE.get(id(loss_fn))
+    if jitted is None:
+        jitted = jax.jit(loss_fn)
+        _VAL_CACHE[id(loss_fn)] = jitted
+    losses = []
+    for batch in val_samples:
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        loss, aux = jitted(params, b, coeffs)
+        losses.append(float(aux["loss_end"]))
+    return float(np.mean(losses))
+
+
+class MetricsWriter:
+    """JSONL metrics sink + optional TensorBoard (torch-cpu is baked in)."""
+
+    def __init__(self, logdir, name):
+        self.dir = os.path.join(logdir, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.f = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(self.dir)
+        except Exception:
+            pass
+
+    def write(self, step: int, scalars: Dict[str, float]):
+        self.f.write(json.dumps({"step": step, **scalars}) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)
+
+
+def save_checkpoint(path, params, opt_state=None, step=0, args=None):
+    """Checkpoint via flax serialization + pickled aux
+    (reference saves state_dict + args, `train.py:235,377-381`;
+    unlike the reference we also save optimizer state and step)."""
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = {
+        "params": serialization.to_bytes(params),
+        "opt_state": serialization.to_bytes(opt_state) if opt_state is not None else None,
+        "step": step,
+        "args": vars(args) if args is not None else None,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_checkpoint(path, params_template, opt_state_template=None):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    params = serialization.from_bytes(params_template, blob["params"])
+    opt_state = None
+    if blob.get("opt_state") is not None and opt_state_template is not None:
+        opt_state = serialization.from_bytes(opt_state_template, blob["opt_state"])
+    return params, opt_state, blob.get("step", 0), blob.get("args")
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    args = apply_model_type_presets(args)
+    np.random.seed(args.seed)
+
+    # streaming schedule (`train.py:142-148`)
+    args.str_al_iter = min(int(np.log10(1e10 / args.rho_init_max) / 2), args.deq_iter)
+    total_deq_iter = args.deq_iter
+    if args.streaming and args.streaming_start_iter == 0:
+        total_deq_iter = args.deq_iter + args.str_al_iter * args.streaming_steps
+
+    env = make_env(args.env, **({"Qscale": args.Qscale} if "FlyingCartpole" in args.env else {}))
+    if args.nq <= 0:
+        args.nq = env.nq if env.nq <= env.nx // 2 else env.nx // 2
+
+    gt_trajs = get_gt_data(args, env, args.teacher)
+    n_train = round(len(gt_trajs) * 0.9 * args.num_trajs_frac)
+    val_trajs = gt_trajs[round(-len(gt_trajs) * 0.1):]
+    gt = merge_gt_data(gt_trajs, num_trajs=n_train)
+    val_gt = merge_gt_data(val_trajs)
+    rng_np = np.random.default_rng(args.seed)
+    horizon_T = args.T + args.streaming_steps * int(args.streaming)
+    val_samples = [
+        sample_trajectory(val_gt, args.bsz, args.H, horizon_T, rng_np)
+        for _ in range(10)
+    ]
+
+    policy = build_policy(args, env)
+    rng = jax.random.PRNGKey(args.seed)
+    params = policy.init(rng)
+
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(2.0),  # `train.py:335`
+        optax.adam(args.lr),
+    )
+    opt_state = optimizer.init(params)
+
+    name = args.name or (
+        f"{args.model_type}_{args.env}_T{args.T}_bsz{args.bsz}"
+        f"_deq_iter{total_deq_iter}_hdim{args.hdim}"
+    )
+    writer = MetricsWriter(args.logdir, name) if args.save else None
+    ckpt_path = os.path.join(args.models_dir, name)
+
+    if args.load and args.ckpt:
+        params, opt_state_l, start_step, _ = load_checkpoint(
+            os.path.join(args.models_dir, args.ckpt), params, opt_state
+        )
+        if opt_state_l is not None:
+            opt_state = opt_state_l
+
+    if args.eval:
+        from .eval import eval_policy
+
+        stats = eval_policy(args, env, policy, params, gt)
+        print(json.dumps(stats, indent=2))
+        return stats
+
+    streaming_active = bool(args.streaming and args.streaming_start_iter == 0)
+    if streaming_active:
+        train_step, loss_fn = make_streaming_train_step(policy, optimizer, args)
+    else:
+        train_step, loss_fn = make_train_step(policy, optimizer, args)
+
+    coeffs = jnp.ones((args.deq_iter, 3))
+    best_val = np.inf
+    losses, losses_end, times = [], [], []
+    t_start = time.time()
+    for i in range(args.start_iter + 1, args.max_train_steps):
+        if (args.streaming and not streaming_active
+                and i > args.streaming_start_iter):
+            streaming_active = True
+            train_step, loss_fn = make_streaming_train_step(policy, optimizer, args)
+        batch = sample_trajectory(gt, args.bsz, args.H, horizon_T, rng_np)
+        batch["state"] = np.asarray(
+            unnormalize_for_env(args.env, batch["state"]))
+        batch["obs"] = np.asarray(unnormalize_for_env(args.env, batch["obs"]))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        t0 = time.time()
+        params, opt_state, loss, aux, gnorm = train_step(
+            params, opt_state, batch, coeffs
+        )
+        loss = float(loss)
+        times.append(time.time() - t0)
+        losses.append(loss)
+        losses_end.append(float(aux["loss_end"]))
+        if not np.isfinite(loss):
+            print(f"[{i}] non-finite loss, stopping")
+            break
+        if i % args.val_every == 0:
+            val_loss = validate_policy(policy, loss_fn, params, val_samples, coeffs)
+            scalars = {
+                "losses/loss_avg": float(np.mean(losses)) / total_deq_iter,
+                "losses/loss_end": float(np.mean(losses_end)),
+                "val_losses/loss_end": val_loss,
+                "grad_norm": float(gnorm),
+                "time/per_step": float(np.mean(times)),
+            }
+            for k in range(args.deq_iter):
+                scalars[f"losses/loss{k}"] = float(aux["losses_iter"][k])
+                scalars[f"losses_opt/loss_opt{k}"] = float(aux["losses_iter_opt"][k])
+                scalars[f"losses_nn/loss_nn{k}"] = float(aux["losses_iter_nn"][k])
+            if "deq_fwd_err" in aux:
+                for k in range(args.deq_iter):
+                    scalars[f"deq_stats/fwd_err{k}"] = float(aux["deq_fwd_err"][k])
+                    scalars[f"deq_stats/fwd_steps{k}"] = float(aux["deq_fwd_steps"][k])
+            print(f"[{i}] loss {scalars['losses/loss_avg']:.4f} "
+                  f"end {scalars['losses/loss_end']:.4f} val {val_loss:.4f} "
+                  f"({scalars['time/per_step']*1e3:.0f} ms/step)")
+            if writer:
+                writer.write(i, scalars)
+            if args.save and val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(ckpt_path, params, opt_state, i, args)
+            losses, losses_end, times = [], [], []
+    return params
+
+
+if __name__ == "__main__":
+    main()

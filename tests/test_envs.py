@@ -61,6 +61,21 @@ def test_cartpole_energy_conservation():
     assert abs(float(energy(x) - e0)) < 1e-6
 
 
+def test_cartpole2l_energy_conservation():
+    """2-link: catches mask-matrix mistakes the 1x1 case hides."""
+    env = CartpoleEnv(nx=6, dt=1e-3)
+    x = jnp.array([0.0, 0.7, -0.4, 0.0, 0.2, 0.1])
+
+    def energy(x):
+        q, qd = x[:3], x[3:]
+        return env._kinetic(q, qd) + env._potential(q)
+
+    e0 = energy(x)
+    for _ in range(200):
+        x = env.dynamics(x, jnp.zeros(1))
+    assert abs(float(energy(x) - e0)) < 1e-6
+
+
 def test_cartpole_pendulum_falls_correct_direction():
     """Upright unstable equilibrium: small perturbation grows."""
     env = CartpoleEnv(nx=4, dt=0.05)
