@@ -19,6 +19,16 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def get_act(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "mish":
+        # x * tanh(softplus(x)) — the reference's history variants use
+        # Mish cells (`deq_layer.py:561-597`)
+        return lambda x: x * jnp.tanh(jax.nn.softplus(x))
+    raise ValueError(name)
+
+
 class MLPCell(nn.Module):
     """z' = ln3(relu(z + ln2(x + fc2(ln1(relu(fc1(z)))))))
     (`deq_layer.py:113-119`)."""

@@ -185,8 +185,9 @@ class DEQMPCPolicy:
                 return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
             return a
 
+        shift_tree = lambda t: jax.tree_util.tree_map(shift, t)
         return PolicyCarry(
-            z=lax.stop_gradient(shift(aux["z"]) if aux["z"].ndim == 3 else aux["z"]),
+            z=lax.stop_gradient(shift_tree(aux["z"])),
             x=lax.stop_gradient(shift(aux["x"])),
             u=lax.stop_gradient(shift(aux["u"])),
             solver=sol_state,
