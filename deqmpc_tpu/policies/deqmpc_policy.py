@@ -66,6 +66,8 @@ class PolicyConfig:
     rho_max: float = 1e8
     rho_init_max: float = 1e4
     dyn_res_tol: float = 1e-3
+    solver_type: str = "al"   # 'al' | 'ip' (`train.py:61`)
+    qp_iter: int = 1
 
 
 class DEQMPCPolicy:
@@ -88,6 +90,7 @@ class DEQMPCPolicy:
             env, cfg.T, al_iter=cfg.al_iter, dtype=cfg.solver_dtype,
             max_newton_steps=cfg.max_newton_steps, rho_max=cfg.rho_max,
             dyn_res_tol=cfg.dyn_res_tol, obstacles=obstacles,
+            solver_type=cfg.solver_type, qp_iter=cfg.qp_iter,
         )
 
     def _make_model(self, mcfg):

@@ -29,7 +29,8 @@ class TrackingMPC:
                  state_estimator: bool = False,
                  dtype=jnp.float32, max_newton_steps: int = 4,
                  rho_max: float = 1e8, dyn_res_tol: float = 1e-3,
-                 obstacles: Optional[ObstacleSet] = None, n_obs_sel: int = 4):
+                 obstacles: Optional[ObstacleSet] = None, n_obs_sel: int = 4,
+                 solver_type: str = "al", qp_iter: int = 1):
         self.env = env
         self.nx, self.nu, self.T = env.nx, env.nu, T
         self.dtype = dtype
@@ -47,6 +48,7 @@ class TrackingMPC:
             xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
             return xn, jnp.concatenate([Jx, Ju], axis=-1)
 
+        self.solver_type = solver_type
         self.ctrl = ALMPC(
             self.nx, self.nu, T,
             u_lower=env.action_space.low, u_upper=env.action_space.high,
@@ -56,6 +58,15 @@ class TrackingMPC:
             dyn_res_tol=dyn_res_tol,
             obstacles=obstacles, n_obs_sel=n_obs_sel,
         )
+        if solver_type == "ip":
+            # interior-point SQP alternative (`policies.py:1218-1234`)
+            from ..solvers.ip_mpc import IPMPC
+
+            self.ip_ctrl = IPMPC(
+                self.nx, self.nu, T,
+                u_lower=env.action_space.low, u_upper=env.action_space.high,
+                dyn=dyn, dyn_jac=dyn_jac, qp_iter=qp_iter, dtype=dtype,
+            )
 
     def init_state(self, bsz: int) -> ALState:
         """reinitialize (`policies.py:1299-1303`)."""
@@ -85,6 +96,10 @@ class TrackingMPC:
             Q = Q * (q_scaling.astype(self.dtype) + 1.0)[:, :, None]
         p, f = self.compute_pf(xu_ref, Q)
         cost = QuadCost(Q=Q, q=p, f=f)
+        if self.solver_type == "ip":
+            x, u = self.ip_ctrl.solve(x0, cost, x_init=x_ref, u_init=u_ref)
+            status = jnp.zeros((bsz,), bool)
+            return x.astype(net_dtype), u.astype(net_dtype), status, state
         if self.ctrl._all_obstacles is not None:
             self.ctrl.select_obstacles(x_ref)
         x, u, status, new_state = self.ctrl.solve(

@@ -8,10 +8,15 @@
 """
 from .al_core import ObstacleSet, compute_cost, full_residuals, merit_function
 from .al_mpc import ALMPC
+from .ip_mpc import IPMPC
+from .pdipm import qp_layer, qp_solve
 from .types import ALState, LinDx, QuadCost
 
 __all__ = [
     "ALMPC",
+    "IPMPC",
+    "qp_layer",
+    "qp_solve",
     "ALState",
     "LinDx",
     "ObstacleSet",

@@ -1,0 +1,133 @@
+"""Interior-point SQP MPC (the reference's `qpth/qp_wrapper.py` path,
+solver_type='ip').
+
+SQP around a batched dense QP: linearize the dynamics analytically
+(`qp_wrapper.py:466-500` GradMethods.ANALYTIC), assemble the dense
+diagonal cost, banded equality constraints and control box
+inequalities with static index maps (`qp_wrapper.py:612-653`), solve
+with the batched PDIPM layer, and (optionally) iterate with a
+rollout-free merit line search (`qp_wrapper.py:402-421`). Default
+qp_iter=1 matches the reference's `single_qp_solve` training path
+(`train.py:41`, `policies.py:1177`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .pdipm import qp_layer, qp_solve
+from .types import QuadCost
+
+Array = jax.Array
+
+
+class IPMPC:
+    def __init__(self, nx: int, nu: int, T: int, u_lower=None, u_upper=None,
+                 dyn: Callable = None, dyn_jac: Callable = None,
+                 qp_iter: int = 1, ipm_iters: int = 18,
+                 dtype=jnp.float32):
+        self.nx, self.nu, self.T = nx, nu, T
+        self.n = nx + nu
+        self.dtype = dtype
+        self.qp_iter = qp_iter
+        self.ipm_iters = ipm_iters
+        self.u_lower = jnp.asarray(u_lower, dtype)
+        self.u_upper = jnp.asarray(u_upper, dtype)
+        self.dyn = dyn
+        self.dyn_jac = dyn_jac
+        self.nz = T * self.n
+        self.ne = T * nx
+        self.ni = 2 * nu * T
+
+    def _assemble(self, x, u, x0, cost: QuadCost):
+        """Dense (Q, p, G, h, A, b) at the linearization point."""
+        bsz = x.shape[0]
+        T, nx, nu, n = self.T, self.nx, self.nu, self.n
+        dt = self.dtype
+        x_next, F = self.dyn_jac(x[:, :-1], u[:, :-1])  # F: (bsz,T-1,nx,n)
+        c_lin = x_next - jnp.einsum("btij,btj->bti",
+                                    F, jnp.concatenate([x, u], -1)[:, :-1])
+        Qd = jnp.einsum("ij,btj->btij", jnp.eye(n, dtype=dt), cost.Q)
+        Q = jax.vmap(jax.scipy.linalg.block_diag)(
+            *[Qd[:, t] for t in range(T)]
+        ) if False else self._block_diag(Qd)
+        p = cost.q.reshape(bsz, -1)
+        # equality: x_{t+1} - F_t tau_t = c_t  (rows t*nx), x_0 = x0 (last)
+        A = jnp.zeros((bsz, self.ne, self.nz), dt)
+        b = jnp.zeros((bsz, self.ne), dt)
+        for t in range(T - 1):
+            A = A.at[:, t * nx : (t + 1) * nx, t * n : (t + 1) * n].set(-F[:, t])
+            A = A.at[:, t * nx : (t + 1) * nx,
+                     (t + 1) * n : (t + 1) * n + nx].set(
+                jnp.eye(nx, dtype=dt)[None])
+            b = b.at[:, t * nx : (t + 1) * nx].set(c_lin[:, t])
+        A = A.at[:, -nx:, :nx].set(jnp.eye(nx, dtype=dt)[None])
+        b = b.at[:, -nx:].set(x0)
+        # inequalities: u <= u_hi, -u <= -u_lo per step
+        G = jnp.zeros((self.ni, self.nz), dt)
+        h = jnp.zeros((self.ni,), dt)
+        for t in range(T):
+            r = 2 * nu * t
+            G = G.at[r : r + nu, t * n + nx : (t + 1) * n].set(jnp.eye(nu, dtype=dt))
+            G = G.at[r + nu : r + 2 * nu, t * n + nx : (t + 1) * n].set(
+                -jnp.eye(nu, dtype=dt))
+            h = h.at[r : r + nu].set(self.u_upper)
+            h = h.at[r + nu : r + 2 * nu].set(-self.u_lower)
+        G = jnp.broadcast_to(G, (bsz, self.ni, self.nz))
+        h = jnp.broadcast_to(h, (bsz, self.ni))
+        return Q, p, G, h, A, b
+
+    @staticmethod
+    def _block_diag(Qd):
+        """(bsz, T, n, n) diag blocks -> (bsz, T*n, T*n)."""
+        bsz, T, n, _ = Qd.shape
+        out = jnp.zeros((bsz, T * n, T * n), Qd.dtype)
+        for t in range(T):
+            out = out.at[:, t * n : (t + 1) * n, t * n : (t + 1) * n].set(Qd[:, t])
+        return out
+
+    def solve(self, x0: Array, cost: QuadCost,
+              x_init: Optional[Array] = None,
+              u_init: Optional[Array] = None) -> Tuple[Array, Array]:
+        """SQP loop; returns (x, u). Differentiable through the final
+        QP via the implicit qp_layer."""
+        bsz = x0.shape[0]
+        T, nx, nu, n = self.T, self.nx, self.nu, self.n
+        dt = self.dtype
+        x0 = x0.astype(dt)
+        x = (x_init.astype(dt) if x_init is not None
+             else jnp.broadcast_to(x0[:, None], (bsz, T, nx)))
+        u = (u_init.astype(dt) if u_init is not None
+             else jnp.zeros((bsz, T, nu), dt))
+        for i in range(self.qp_iter):
+            xc = lax.stop_gradient(x)
+            uc = lax.stop_gradient(u)
+            Q, p, G, h, A, b = self._assemble(xc, uc, x0, cost)
+            last = i == self.qp_iter - 1
+            if last:
+                z = qp_layer(Q, p, G, h, A, b, self.ipm_iters)
+            else:
+                z = qp_solve(Q, p, G, h, A, b, self.ipm_iters).z
+            tau = z.reshape(bsz, T, n)
+            x_new, u_new = tau[..., :nx], tau[..., nx:]
+            if not last:
+                # merit line search on the true dynamics defect
+                # (`qp_wrapper.py:402-421` rollout-based backtracking)
+                def defect(xx, uu):
+                    d = xx[:, 1:] - self.dyn(xx[:, :-1], uu[:, :-1])
+                    return jnp.sum(d * d, axis=(1, 2))
+
+                alphas = 2.0 ** (-jnp.arange(8, dtype=dt))
+                cands_x = xc[None] + alphas[:, None, None, None] * (x_new - xc)[None]
+                cands_u = uc[None] + alphas[:, None, None, None] * (u_new - uc)[None]
+                merits = jax.vmap(defect)(cands_x, cands_u)  # (8, bsz)
+                bidx = jnp.argmin(merits, axis=0)
+                ar = jnp.arange(bsz)
+                x = cands_x[bidx, ar]
+                u = cands_u[bidx, ar]
+            else:
+                x, u = x_new, u_new
+        return x, u

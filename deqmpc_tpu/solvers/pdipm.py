@@ -1,0 +1,206 @@
+"""Batched primal-dual interior-point QP solver + differentiable layer.
+
+Counterpart of the reference's OptNet-style stack
+(`qpth/qp.py` QPFunction/DenseQPFunction, `qpth/solvers/pdipm/
+batch.py` Mehrotra predictor-corrector :46-208, `batch_LU.py` dense
+KKT). Solves, batched over samples:
+
+    min_z 0.5 z'Qz + p'z   s.t.  Gz <= h,  Az = b
+
+Redesign notes (TPU-first):
+  * fixed iteration count with per-sample best-iterate tracking
+    (mirroring `batch.py:119-144`) instead of `.item()` breaks;
+  * one symmetrized KKT factorization per iteration, solved for both
+    the affine and centering-corrector steps (Mehrotra);
+  * backward is generic implicit differentiation through the KKT
+    residual map: solve (dF/dsol)' w = cotangent and pull back with
+    jax.vjp — covers dQ, dp, dG, dh, dA, db without hand-derived
+    formulas (`qp.py:128-183` derives them manually).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+class QPSolution(NamedTuple):
+    z: Array     # (bsz, nz)
+    s: Array     # (bsz, ni) slacks
+    lam: Array   # (bsz, ni) ineq duals
+    nu: Array    # (bsz, ne) eq duals
+    res: Array   # (bsz,) final KKT residual norm
+
+
+def _kkt_residuals(z, s, lam, nu, Q, p, G, h, A, b, mu=0.0):
+    rz = jnp.einsum("bij,bj->bi", Q, z) + p + jnp.einsum("bij,bi->bj", G, lam)
+    if A.shape[1] > 0:
+        rz = rz + jnp.einsum("bij,bi->bj", A, nu)
+    rs = lam * s - mu
+    ri = jnp.einsum("bij,bj->bi", G, z) + s - h
+    re = jnp.einsum("bij,bj->bi", A, z) - b if A.shape[1] > 0 else jnp.zeros_like(b)
+    return rz, rs, ri, re
+
+
+def _solve_kkt(Q, G, A, s, lam, rz, rs, ri, re, eps=1e-9):
+    """Solve the symmetrized Newton-KKT system for (dz, dnu, dlam); ds
+    recovered from the slack row. Dense batched solve (the reference's
+    `batch_LU.py` dense-K path)."""
+    bsz, ni, nz = G.shape
+    ne = A.shape[1]
+    dt = Q.dtype
+    Dsl = s / lam  # (bsz, ni)
+    # K = [[Q, G', A'], [G, -D(s/lam), 0], [A, 0, 0]]
+    N = nz + ni + ne
+    K = jnp.zeros((bsz, N, N), dt)
+    K = K.at[:, :nz, :nz].set(Q)
+    K = K.at[:, :nz, nz : nz + ni].set(jnp.swapaxes(G, -1, -2))
+    K = K.at[:, nz : nz + ni, :nz].set(G)
+    K = K.at[:, nz : nz + ni, nz : nz + ni].set(
+        -jnp.einsum("ij,bj->bij", jnp.eye(ni, dtype=dt), Dsl + eps)
+    )
+    if ne > 0:
+        K = K.at[:, :nz, nz + ni :].set(jnp.swapaxes(A, -1, -2))
+        K = K.at[:, nz + ni :, :nz].set(A)
+    rhs = jnp.concatenate([-rz, -ri + rs / lam, -re], axis=1)[..., None]
+    sol = jnp.linalg.solve(K, rhs)[..., 0]
+    dz = sol[:, :nz]
+    dlam = sol[:, nz : nz + ni]
+    dnu = sol[:, nz + ni :]
+    ds = -(rs + s * dlam) / lam
+    return dz, ds, dlam, dnu
+
+
+def qp_solve(Q, p, G, h, A, b, iters: int = 18) -> QPSolution:
+    """Mehrotra predictor-corrector PDIPM, fixed iterations, batched."""
+    bsz, nz = p.shape
+    ni = G.shape[1]
+    ne = A.shape[1]
+    dt = p.dtype
+
+    # initialization (OptNet-style): one least-squares-ish KKT solve
+    # with s = lam = 1, then shift into the positive orthant
+    s0 = jnp.ones((bsz, ni), dt)
+    l0 = jnp.ones((bsz, ni), dt)
+    nu0 = jnp.zeros((bsz, ne), dt)
+    z0 = jnp.zeros((bsz, nz), dt)
+    rz, rs, ri, re = _kkt_residuals(z0, s0, l0, nu0, Q, p, G, h, A, b, mu=0.0)
+    dz, ds, dlam, dnu = _solve_kkt(Q, G, A, s0, l0, rz, rs, ri, re)
+    z = z0 + dz
+    nu = nu0 + dnu
+    s_cand = s0 + ds
+    l_cand = l0 + dlam
+    shift_s = jnp.maximum(0.0, -jnp.min(s_cand, axis=1, keepdims=True)) + 1.0
+    shift_l = jnp.maximum(0.0, -jnp.min(l_cand, axis=1, keepdims=True)) + 1.0
+    s = s_cand + shift_s
+    lam = l_cand + shift_l
+
+    def res_norm(z, s, lam, nu):
+        rz, _, ri, re = _kkt_residuals(z, s, lam, nu, Q, p, G, h, A, b)
+        gap = jnp.abs(jnp.sum(s * lam, axis=1)) / ni
+        return (jnp.linalg.norm(rz, axis=1) + jnp.linalg.norm(ri, axis=1)
+                + jnp.linalg.norm(re, axis=1) + gap)
+
+    best = (z, s, lam, nu, res_norm(z, s, lam, nu))
+
+    def body(carry, _):
+        z, s, lam, nu, best = carry
+        rz, rs, ri, re = _kkt_residuals(z, s, lam, nu, Q, p, G, h, A, b)
+        # affine (predictor) step
+        dz_a, ds_a, dl_a, dnu_a = _solve_kkt(Q, G, A, s, lam, rz, rs, ri, re)
+
+        def max_step(v, dv):
+            # largest alpha in (0, 1] keeping v + alpha dv >= 0
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio, axis=1))
+
+        alpha_a = jnp.minimum(max_step(s, ds_a), max_step(lam, dl_a))[:, None]
+        mu = jnp.sum(s * lam, axis=1) / ni
+        mu_aff = jnp.sum((s + alpha_a * ds_a) * (lam + alpha_a * dl_a), axis=1) / ni
+        sigma = (mu_aff / (mu + 1e-30)) ** 3
+        # corrector + centering
+        rs_c = rs + ds_a * dl_a - (sigma * mu)[:, None]
+        dz, ds, dlam, dnu = _solve_kkt(Q, G, A, s, lam, rz, rs_c, ri, re)
+        alpha = 0.99 * jnp.minimum(max_step(s, ds), max_step(lam, dlam))[:, None]
+        z = z + alpha * dz
+        s = s + alpha * ds
+        lam = lam + alpha * dlam
+        nu = nu + alpha * dnu
+        r = res_norm(z, s, lam, nu)
+        bz, bs, bl, bn, br = best
+        better = r < br
+        best = (
+            jnp.where(better[:, None], z, bz),
+            jnp.where(better[:, None], s, bs),
+            jnp.where(better[:, None], lam, bl),
+            jnp.where(better[:, None], nu, bn),
+            jnp.where(better, r, br),
+        )
+        return (z, s, lam, nu, best), None
+
+    (z, s, lam, nu, best), _ = lax.scan(
+        body, (z, s, lam, nu, best), None, length=iters
+    )
+    bz, bs, bl, bn, br = best
+    return QPSolution(z=bz, s=bs, lam=bl, nu=bn, res=br)
+
+
+# --------------------------------------------------------------------------
+# differentiable layer (implicit function theorem through the KKT map)
+# --------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def qp_layer(Q, p, G, h, A, b, iters: int = 18):
+    """Differentiable QP: returns the primal solution z*."""
+    return qp_solve(Q, p, G, h, A, b, iters).z
+
+
+def _qp_fwd(Q, p, G, h, A, b, iters):
+    sol = qp_solve(Q, p, G, h, A, b, iters)
+    return sol.z, (sol, Q, p, G, h, A, b)
+
+
+def _qp_bwd(iters, saved, gz):
+    sol, Q, p, G, h, A, b = saved
+    z, s, lam, nu = sol.z, sol.s, sol.lam, sol.nu
+    bsz, nz = z.shape
+    ni = G.shape[1]
+    ne = A.shape[1]
+
+    def F(solvec, theta):
+        """Flat KKT residual map at fixed mu=0 (complementarity)."""
+        Q_, p_, G_, h_, A_, b_ = theta
+        z_ = solvec[:nz]
+        s_ = solvec[nz : nz + ni]
+        l_ = solvec[nz + ni : nz + 2 * ni]
+        n_ = solvec[nz + 2 * ni :]
+        rz = Q_ @ z_ + p_ + G_.T @ l_ + (A_.T @ n_ if ne > 0 else 0.0)
+        rs = l_ * s_
+        ri = G_ @ z_ + s_ - h_
+        re = A_ @ z_ - b_ if ne > 0 else jnp.zeros(0, z_.dtype)
+        return jnp.concatenate([rz, rs, ri, re])
+
+    def one_sample(zb, sb, lb, nb, Qb, pb, Gb, hb, Ab, bb, gzb):
+        solvec = jnp.concatenate([zb, sb, lb, nb])
+        theta = (Qb, pb, Gb, hb, Ab, bb)
+        J = jax.jacfwd(F, argnums=0)(solvec, theta)  # (N, N)
+        rhs = jnp.concatenate(
+            [gzb, jnp.zeros(2 * ni + ne, zb.dtype)]
+        )
+        # (dF/dsol)' w = dL/dsol  (only z part nonzero)
+        w = jnp.linalg.solve(
+            J.T + 1e-10 * jnp.eye(J.shape[0], dtype=J.dtype), rhs
+        )
+        _, vjp_theta = jax.vjp(lambda th: F(solvec, th), theta)
+        grads = vjp_theta(-w)[0]
+        return grads
+
+    grads = jax.vmap(one_sample)(z, s, lam, nu, Q, p, G, h, A, b, gz)
+    return grads
+
+
+qp_layer.defvjp(_qp_fwd, _qp_bwd)

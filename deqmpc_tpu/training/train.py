@@ -147,6 +147,7 @@ def build_policy(args, env, obstacles=None):
         grad_type=args.grad_type, kernel_width=args.kernel_width,
         al_iter=2, solver_dtype=solver_dtype,
         rho_init_max=args.rho_init_max, rho_max=rho_max,
+        solver_type=args.solver_type, qp_iter=args.qp_iter,
     )
     if args.deq:
         return DEQMPCPolicy(cfg, env, obstacles=obstacles)

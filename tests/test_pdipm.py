@@ -1,0 +1,124 @@
+"""PDIPM QP solver tests: vs scipy SLSQP oracle, vs the AL solver on
+the same MPC problem, and implicit-gradient finite-difference checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import minimize
+
+from deqmpc_tpu.solvers import LinDx, QuadCost
+from deqmpc_tpu.solvers.al_core import lin_dyn_fns
+from deqmpc_tpu.solvers.ip_mpc import IPMPC
+from deqmpc_tpu.solvers.pdipm import qp_layer, qp_solve
+
+
+def _random_qp(rng, nz=6, ni=4, ne=2, bsz=3):
+    L = rng.normal(size=(bsz, nz, nz))
+    Q = L @ np.swapaxes(L, -1, -2) + np.eye(nz) * nz
+    p = rng.normal(size=(bsz, nz))
+    G = rng.normal(size=(bsz, ni, nz))
+    h = rng.normal(size=(bsz, ni)) + 1.0
+    A = rng.normal(size=(bsz, ne, nz))
+    b = rng.normal(size=(bsz, ne)) * 0.3
+    return tuple(jnp.asarray(v) for v in (Q, p, G, h, A, b))
+
+
+def _scipy_qp(Q, p, G, h, A, b):
+    nz = len(p)
+
+    def f(z):
+        return 0.5 * z @ Q @ z + p @ z
+
+    cons = [
+        {"type": "ineq", "fun": lambda z: h - G @ z},
+        {"type": "eq", "fun": lambda z: A @ z - b},
+    ]
+    r = minimize(f, np.zeros(nz), jac=lambda z: Q @ z + p,
+                 constraints=cons, method="SLSQP",
+                 options={"maxiter": 200, "ftol": 1e-12})
+    return r.x
+
+
+def test_qp_matches_scipy():
+    rng = np.random.default_rng(0)
+    Q, p, G, h, A, b = _random_qp(rng)
+    sol = qp_solve(Q, p, G, h, A, b, iters=25)
+    for i in range(p.shape[0]):
+        z_ref = _scipy_qp(*[np.asarray(v[i]) for v in (Q, p, G, h, A, b)])
+        np.testing.assert_allclose(np.asarray(sol.z[i]), z_ref,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_qp_gradients_match_fd():
+    rng = np.random.default_rng(1)
+    Q, p, G, h, A, b = _random_qp(rng, nz=4, ni=3, ne=1, bsz=1)
+
+    def loss(p_):
+        z = qp_layer(Q, p_, G, h, A, b, 25)
+        return jnp.sum(z**2)
+
+    g = jax.grad(loss)(p)
+    eps = 1e-5
+    g_fd = np.zeros_like(np.asarray(p))
+    for idx in np.ndindex(*p.shape):
+        dp = jnp.zeros_like(p).at[idx].set(eps)
+        g_fd[idx] = (loss(p + dp) - loss(p - dp)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), g_fd, rtol=2e-3, atol=1e-4)
+
+
+def test_ip_mpc_matches_al_on_lq():
+    """On an equality+inactive-box LQ problem, IP and AL must agree."""
+    rng = np.random.default_rng(42)
+    bsz, T, nx, nu = 2, 4, 3, 2
+    n = nx + nu
+    A_ = jnp.asarray(0.5 * rng.normal(size=(bsz, T - 1, nx, nx)))
+    B_ = jnp.asarray(0.5 * rng.normal(size=(bsz, T - 1, nx, nu)))
+    F = jnp.concatenate([A_, B_], axis=-1)
+    f = jnp.asarray(0.1 * rng.normal(size=(bsz, T - 1, nx)))
+    dyn, dyn_jac = lin_dyn_fns(LinDx(F=F, f=f))
+    Qd = jnp.asarray(rng.uniform(0.5, 2.0, size=(bsz, T, n)))
+    q = jnp.asarray(rng.normal(size=(bsz, T, n)))
+    x0 = jnp.asarray(rng.normal(size=(bsz, nx)))
+    cost = QuadCost(Q=Qd, q=q, f=jnp.zeros((bsz, T)))
+
+    ip = IPMPC(nx, nu, T, u_lower=-1e3 * np.ones(nu), u_upper=1e3 * np.ones(nu),
+               dyn=dyn, dyn_jac=dyn_jac, qp_iter=1, ipm_iters=30,
+               dtype=jnp.float64)
+    x_ip, u_ip = ip.solve(x0, cost)
+
+    from deqmpc_tpu.solvers import ALMPC
+
+    al = ALMPC(nx, nu, T, u_lower=-1e3 * np.ones(nu), u_upper=1e3 * np.ones(nu),
+               dyn=dyn, dyn_jac=dyn_jac, dtype=jnp.float64)
+    x_al, u_al, _, _ = al.solve(x0, cost, al.init_state(bsz), al_iter=8)
+
+    np.testing.assert_allclose(np.asarray(x_ip), np.asarray(x_al),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_ip), np.asarray(u_al),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ip_mpc_respects_box():
+    rng = np.random.default_rng(3)
+    bsz, T, nx, nu = 4, 4, 2, 1
+    from deqmpc_tpu.envs import PendulumEnv
+
+    env = PendulumEnv()
+
+    def dyn_jac(x, u):
+        xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+        return xn, jnp.concatenate([Jx, Ju], -1)
+
+    x0 = jnp.asarray(rng.uniform(-1, 1, (bsz, nx)))
+    x_ref = jnp.tile(jnp.asarray([np.pi, 0.0]), (bsz, T, 1))
+    Qd = jnp.tile(jnp.asarray(np.concatenate([env.Qlqr, env.Rlqr])), (bsz, T, 1))
+    q = -Qd * jnp.concatenate([x_ref, jnp.zeros((bsz, T, nu))], -1)
+    cost = QuadCost(Q=Qd, q=q, f=jnp.zeros((bsz, T)))
+    ip = IPMPC(nx, nu, T, u_lower=env.action_space.low,
+               u_upper=env.action_space.high,
+               dyn=env.dynamics, dyn_jac=dyn_jac, qp_iter=3, ipm_iters=25,
+               dtype=jnp.float64)
+    x, u = ip.solve(x0, cost)
+    assert float(jnp.max(u)) <= env.max_torque + 1e-5
+    assert float(jnp.min(u)) >= -env.max_torque - 1e-5
+    assert bool(jnp.all(jnp.isfinite(x)))
