@@ -40,50 +40,62 @@ LANE = 128
 # -- small-matrix algebra on (n, n, B) / (n, B) vector registers ------------
 
 def _mm(A, B):
-    """C[i,j,:] = sum_k A[i,k,:] * B[k,j,:]  (VPU mul-adds over lanes)."""
-    return jnp.einsum("ikb,kjb->ijb", A, B)
+    """C[i,j,:] = sum_k A[i,k,:] * B[k,j,:]  (VPU mul-adds over lanes).
+
+    Written as a k-loop of rank-1 outer accumulations: einsum/
+    dot_general with a trailing batch dim crashes the Mosaic lowering,
+    and a single broadcast-reduce materializes an (n,n,n,B) temp that
+    blows VMEM."""
+    n = A.shape[0]
+    # pure slices (A[:, k:k+1]) — integer-index + newaxis lowers to an
+    # unsupported >2D gather in Mosaic
+    C = A[:, 0:1, :] * B[0:1, :, :]
+    for k in range(1, n):
+        C = C + A[:, k : k + 1, :] * B[k : k + 1, :, :]
+    return C
 
 
 def _chol(S):
-    """Lower Cholesky of (n, n, B) SPD blocks, column algorithm with
-    static unroll and row masking."""
+    """Lower Cholesky of (n, n, B) SPD blocks: static column unroll,
+    scatter-free (columns collected in a list and stacked — Mosaic has
+    no scatter lowering)."""
     n = S.shape[0]
-    L = jnp.zeros_like(S)
+    cols = []
+    row_idx = jnp.arange(n)[:, None]
     for j in range(n):
         d = jnp.sqrt(S[j, j])            # (B,)
         inv_d = 1.0 / d
         col = S[:, j] * inv_d            # (n, B)
-        row_mask = (jnp.arange(n) > j)[:, None]
-        col = jnp.where(row_mask, col, 0.0)
-        L = L.at[:, j].set(col)
-        L = L.at[j, j].set(d)
+        below = jnp.where(row_idx > j, col, 0.0)
+        cols.append(below + jnp.where(row_idx == j, d[None, :], 0.0))
         # rank-1 downdate of the trailing submatrix
-        S = S - col[:, None, :] * col[None, :, :]
-    return L
+        S = S - below[:, None, :] * below[None, :, :]
+    return jnp.stack(cols, axis=1)       # (n, n, B), column j at [:, j]
 
 
 def _tri_solve_lower(L, B):
-    """Solve L X = B for lower-triangular L: (n,n,B),(n,m,B)->(n,m,B)."""
+    """Solve L X = B for lower-triangular L: (n,n,B),(n,m,B)->(n,m,B).
+    Row-sequential, scatter-free (rows stacked at the end)."""
     n = L.shape[0]
-    X = jnp.zeros_like(B)
+    rows = []
     for i in range(n):
         acc = B[i]
         for k in range(i):
-            acc = acc - L[i, k][None, :] * X[k]
-        X = X.at[i].set(acc / L[i, i][None, :])
-    return X
+            acc = acc - L[i, k][None, :] * rows[k]
+        rows.append(acc / L[i, i][None, :])
+    return jnp.stack(rows, axis=0)
 
 
 def _tri_solve_lower_T(L, B):
-    """Solve L' X = B (backward substitution)."""
+    """Solve L' X = B (backward substitution), scatter-free."""
     n = L.shape[0]
-    X = jnp.zeros_like(B)
+    rows = [None] * n
     for i in reversed(range(n)):
         acc = B[i]
         for k in range(i + 1, n):
-            acc = acc - L[k, i][None, :] * X[k]
-        X = X.at[i].set(acc / L[i, i][None, :])
-    return X
+            acc = acc - L[k, i][None, :] * rows[k]
+        rows[i] = acc / L[i, i][None, :]
+    return jnp.stack(rows, axis=0)
 
 
 def _solve_kernel(T: int, n: int, D_ref, O_ref, b_ref, x_ref):
@@ -123,11 +135,12 @@ def _pallas_solve_lanes(D, O, b, interpret: bool = False):
     T, n, _, Bp = D.shape
     grid = (Bp // LANE,)
 
+    # index maps return BLOCK indices (scaled by block_shape internally)
     def idx4(i):
-        return (0, 0, 0, i * LANE)
+        return (0, 0, 0, i)
 
     def idx3(i):
-        return (0, 0, i * LANE)
+        return (0, 0, i)
 
     kwargs = {}
     if _HAS_PLTPU and not interpret:

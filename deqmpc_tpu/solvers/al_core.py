@@ -163,21 +163,30 @@ def merit_grad_blocks(xu, Q, q, x0, lam, rho, F,
     off = T * nx
 
     # ----- gradient: cost + J'lam + rho * J_c' res_clamp ------------------
+    # assembled scatter-free (pads/concats only): XLA-TPU lowers .at
+    # scatters to serialized dynamic-update loops, which dominated the
+    # Newton step in profiling.
     g = cost_gradient(xu, Q, q)
 
-    def add_eq_terms(g, v_eq):
-        """g += J_eq' v for stacked eq duals/residuals v (bsz, T, nx)."""
+    def pad_T(a, front, back):
+        """Pad (bsz, t, n) along the time axis."""
+        return jnp.pad(a, ((0, 0), (front, back), (0, 0)))
+
+    def pad_feat(a, back):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, back)))
+
+    def eq_terms(v_eq):
+        """J_eq' v for stacked eq duals/residuals v (bsz, T, nx)."""
         # defect row t: -F_t' v_t on block t, +S' v_t on block t+1
         gt = -jnp.einsum("btij,bti->btj", F, v_eq[:, : T - 1])  # (bsz,T-1,n)
-        g = g.at[:, : T - 1].add(gt)
-        g = g.at[:, 1:, :nx].add(v_eq[:, : T - 1])
+        out = pad_T(gt, 0, 1)
+        out = out + pad_feat(pad_T(v_eq[:, : T - 1], 1, 0), nu)
         if not state_estimator:
             # initial-state row (stored at slot T-1) acts on block 0
-            g = g.at[:, 0, :nx].add(v_eq[:, T - 1])
-        return g
+            out = out + pad_feat(pad_T(v_eq[:, T - 1][:, None], 0, T - 1), nu)
+        return out
 
-    g = add_eq_terms(g, lam_eq)
-    g = add_eq_terms(g, rho[..., None] * r_eq)  # eq rows: J_c == J
+    g = g + eq_terms(lam_eq) + eq_terms(rho[..., None] * r_eq)  # J_c == J on eq
 
     active_u = None
     if u_lower is not None and not state_estimator:
@@ -187,8 +196,10 @@ def merit_grad_blocks(xu, Q, q, x0, lam, rho, F,
         lam_in = lam[:, off : off + T * 2 * nu].reshape(bsz, T, 2 * nu)
         off += T * 2 * nu
         # rows [u - u_hi] have +I_u, rows [u_lo - u] have -I_u
-        g = g.at[..., nx:].add(lam_in[..., :nu] - lam_in[..., nu:])
-        g = g.at[..., nx:].add(rho[..., None] * (r_in_c[..., :nu] - r_in_c[..., nu:]))
+        gu = (lam_in[..., :nu] - lam_in[..., nu:]) + rho[..., None] * (
+            r_in_c[..., :nu] - r_in_c[..., nu:]
+        )
+        g = g + jnp.pad(gu, ((0, 0), (0, 0), (nx, 0)))
         active_u = (r_in >= 0).astype(dtype)  # (bsz, T, 2nu)
 
     jac_obs = None
@@ -201,14 +212,13 @@ def merit_grad_blocks(xu, Q, q, x0, lam, rho, F,
         lam_o = lam[:, off : off + T * n_sel].reshape(bsz, T, n_sel)
         jac_obs = -2.0 * (x[..., None, :3] - obs.centers)  # (bsz,T,n_sel,3)
         active_obs = (r_o >= 0).astype(dtype)
-        g = g.at[..., :3].add(jnp.einsum("btk,btkj->btj", lam_o, jac_obs))
-        g = g.at[..., :3].add(
-            rho[..., None]
-            * jnp.einsum("btk,btkj->btj", r_o_c * active_obs, jac_obs)
+        go = jnp.einsum("btk,btkj->btj", lam_o, jac_obs) + rho[..., None] * (
+            jnp.einsum("btk,btkj->btj", r_o_c * active_obs, jac_obs)
         )
+        g = g + jnp.pad(go, ((0, 0), (0, 0), (0, n - 3)))
 
     # ----- Hessian blocks: diag(Q) + rho * J_c'J_c ------------------------
-    eye_x = jnp.zeros((n,), dtype).at[:nx].set(1.0)
+    eye_x = jnp.concatenate([jnp.ones((nx,), dtype), jnp.zeros((nu,), dtype)])
     eye_n = jnp.eye(n, dtype=dtype)
     D = jnp.einsum("ij,btj->btij", eye_n, Q)  # diag(Q) blocks
     # S'S (identity on x-part) appears once per block: from the defect
@@ -221,26 +231,30 @@ def merit_grad_blocks(xu, Q, q, x0, lam, rho, F,
         D = D + rho[..., None, None] * jnp.einsum("ij,tj->tij", eye_n, sts)[None]
     else:
         D = D + rho[..., None, None] * (eye_n * eye_x)[None, None]
-    # F_t'F_t on blocks 0..T-2
+    # F_t'F_t on blocks 0..T-2 (padded along T, no scatter)
     FtF = jnp.einsum("btik,btil->btkl", F, F)  # (bsz, T-1, n, n)
-    D = D.at[:, : T - 1].add(rho[..., None, None] * FtF)
+    D = D + rho[..., None, None] * jnp.pad(
+        FtF, ((0, 0), (0, 1), (0, 0), (0, 0))
+    )
     # active control-box rows: diagonal on the u-part
     if active_u is not None:
         act = active_u[..., :nu] + active_u[..., nu:]  # (bsz, T, nu)
-        D = D.at[..., nx:, nx:].add(
-            rho[..., None, None]
-            * jnp.einsum("ij,btj->btij", jnp.eye(nu, dtype=dtype), act)
-        )
+        act_full = jnp.pad(act, ((0, 0), (0, 0), (nx, 0)))  # (bsz,T,n)
+        D = D + rho[..., None, None] * jnp.einsum("ij,btj->btij", eye_n, act_full)
     # active obstacle rows: 3x3 on the xyz part
     if jac_obs is not None:
         JoJo = jnp.einsum(
             "btk,btki,btkj->btij", active_obs, jac_obs, jac_obs
         )
-        D = D.at[..., :3, :3].add(rho[..., None, None] * JoJo)
+        D = D + rho[..., None, None] * jnp.pad(
+            JoJo, ((0, 0), (0, 0), (0, n - 3), (0, n - 3))
+        )
 
     # super-diagonal: block (t, t+1) = -rho * F_t' S = [-rho F_t' | 0]
-    O = jnp.zeros((bsz, T - 1, n, n), dtype)
-    O = O.at[..., :nx].set(-rho[..., None, None] * jnp.swapaxes(F, -1, -2))
+    O = jnp.pad(
+        -rho[..., None, None] * jnp.swapaxes(F, -1, -2),
+        ((0, 0), (0, 0), (0, 0), (0, nu)),
+    )
 
     res = jnp.concatenate(parts, axis=1)
     res_c = jnp.concatenate(parts_c, axis=1)

@@ -406,6 +406,17 @@ def main(argv=None):
         if not np.isfinite(loss):
             print(f"[{i}] non-finite loss, stopping")
             break
+        if args.grad_coeff and i % args.val_every == 0 and not streaming_active:
+            from .grad_coeffs import (compute_grad_ratio_coeffs,
+                                      update_coeffs_ema)
+
+            try:
+                ratios, _, _ = compute_grad_ratio_coeffs(
+                    policy, params, batch, qp_solve=args.qp_solve
+                )
+                coeffs = update_coeffs_ema(coeffs, ratios)
+            except KeyError:
+                pass  # model without a plain output head
         if i % args.val_every == 0:
             val_loss = validate_policy(policy, loss_fn, params, val_samples, coeffs)
             scalars = {
