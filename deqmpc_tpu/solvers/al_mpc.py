@@ -66,6 +66,9 @@ class ALMPC:
         # per-solve obstacle selection lives here (set by select_obstacles)
         self._obs_current: Optional[ObstacleSet] = None
         self._all_obstacles = obstacles
+        # frozen linearization for the linearize-once streaming path
+        # (`al_utils_lin.py`, `AL_mpc.py:370-377`)
+        self._lin_current: Optional[LinDx] = None
 
         cfg = NewtonALConfig(
             nx=nx, nu=nu, T=T, max_newton_steps=max_newton_steps,
@@ -75,6 +78,22 @@ class ALMPC:
         obs_getter = (lambda: self._obs_current) if obstacles is not None else None
         self._newton = make_newton_al(
             cfg, self._dyn_batched, self._dyn_jac_batched,
+            self.u_lower if self.has_u_box else None,
+            self.u_upper if self.has_u_box else None,
+            obs_getter,
+        )
+
+        def _lin_dyn(x, u):
+            lin = self._lin_current
+            xu = jnp.concatenate([x, u], axis=-1)
+            return jnp.einsum("btij,btj->bti", lin.F, xu) + lin.f
+
+        def _lin_dyn_jac(x, u):
+            return _lin_dyn(x, u), self._lin_current.F
+
+        self._lin_dyn = _lin_dyn
+        self._newton_lin = make_newton_al(
+            cfg, _lin_dyn, _lin_dyn_jac,
             self.u_lower if self.has_u_box else None,
             self.u_upper if self.has_u_box else None,
             obs_getter,
@@ -197,6 +216,70 @@ class ALMPC:
             has_init=jnp.ones((bsz,), bool),
         )
         status = jnp.broadcast_to(stopped, (bsz,)) if streaming else jnp.zeros((bsz,), bool)
+        return x, u, status, new_state
+
+    def solve_linearize_once(self, x0: Array, cost: QuadCost, state: ALState,
+                             num_iters: int = 8) -> Tuple[Array, Array, Array, ALState]:
+        """Streaming 'linearize once' mode (`al_utils_lin.py`,
+        `AL_mpc.py:370-377,388-391`): freeze the dynamics Jacobians at
+        the warm-started iterate, run AL iterations on the *linear*
+        model with a dyn-res stall exit (masked for jit) and the
+        rho-cap exit. O(1) Jacobian evaluations per receding-horizon
+        step — the real-time path."""
+        nx = self.nx
+        dtype = self.dtype
+        x0 = x0.astype(dtype)
+        Q = cost.Q.astype(dtype)
+        q = cost.q.astype(dtype)
+        bsz = x0.shape[0]
+        x, u, lam, rho = state.x, state.u, state.lam, state.rho
+
+        # freeze the linearization at the current iterate
+        x_next, F = self._dyn_jac_batched(x[:, :-1], u[:, :-1])
+        xu_lin = jnp.concatenate([x, u], axis=-1)[:, :-1]
+        f_lin = x_next - jnp.einsum("btij,btj->bti", F, xu_lin)
+        self._lin_current = LinDx(F=lax.stop_gradient(F),
+                                  f=lax.stop_gradient(f_lin))
+
+        obs = self._obs_current
+        xu = jnp.concatenate([x, u], axis=-1)
+        stopped = jnp.zeros((), bool)
+        prev_res = jnp.asarray(jnp.inf, dtype)
+        neq = self.T * nx
+        for i in range(num_iters):
+            xu_in = lax.stop_gradient(xu)
+            xu_new, _ = self._newton_lin(xu_in, x0, lam, rho, Q, q)
+            xu_new = jnp.where(stopped, xu_in, xu_new)
+            xu = xu_new
+            xu_sg = lax.stop_gradient(xu)
+            res, res_c = full_residuals(
+                self._lin_dyn, xu_sg[..., :nx], xu_sg[..., nx:], x0,
+                self.u_lower if self.has_u_box else None,
+                self.u_upper if self.has_u_box else None,
+                obs, self.state_estimator,
+            )
+            lam_next = lam + rho * res
+            lam_next = jnp.concatenate(
+                [lam_next[:, :neq], jnp.maximum(lam_next[:, neq:], 0.0)], axis=1
+            )
+            rho_next = jnp.minimum(rho * 10.0, self.rho_max)
+            lam = jnp.where(stopped, lam, lam_next)
+            rho = jnp.where(stopped, rho, rho_next)
+            # stall exit (`AL_mpc.py:406-408`) + rho-cap exit (:412)
+            cur_res = jnp.linalg.norm(res_c)
+            stopped = jnp.logical_or(
+                stopped,
+                jnp.logical_or(cur_res >= prev_res, jnp.max(rho) >= self.rho_max),
+            )
+            prev_res = jnp.minimum(prev_res, cur_res)
+
+        x, u = xu[..., :nx], xu[..., nx:]
+        new_state = ALState(
+            lam=lam, rho=rho,
+            x=lax.stop_gradient(x), u=lax.stop_gradient(u),
+            has_init=jnp.ones((bsz,), bool),
+        )
+        status = jnp.broadcast_to(stopped, (bsz,))
         return x, u, status, new_state
 
     # -- diagnostics ----------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Tests for auxiliary components: NNPolicy, VecEnv, noise utils,
+linearize-once streaming solver."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deqmpc_tpu.data.noise_utils import add_data_noise
+from deqmpc_tpu.envs import PendulumEnv
+from deqmpc_tpu.envs.vec_env import VecEnv
+from deqmpc_tpu.policies.nn_policy import NNPolicy
+from deqmpc_tpu.solvers import ALMPC, ALState, QuadCost
+
+
+def test_nn_policy_out_types():
+    for out_type, shapes in [(0, (None, (4, 5, 1))), (1, ((4, 5, 2), None)),
+                             (2, ((4, 5, 2), (4, 5, 1))), (3, ((4, 5, 2), None))]:
+        pol = NNPolicy(nx=2, nu=1, nq=1, T=5, dt=0.05, hdim=16,
+                       out_type=out_type)
+        params = pol.init(jax.random.PRNGKey(0))
+        s, a = pol(params, jnp.zeros((4, 2)))
+        for got, want in ((s, shapes[0]), (a, shapes[1])):
+            if want is None:
+                assert got is None
+            else:
+                assert got.shape == want
+
+
+def test_vec_env_auto_reset():
+    env = PendulumEnv()
+    vec = VecEnv(env, n_envs=8, max_episode_steps=3)
+    st = vec.reset(jax.random.PRNGKey(0))
+    step = jax.jit(vec.step)
+    for t in range(3):
+        st, obs, rew, done = step(st, jnp.zeros((8, 1)))
+    # at t==3 all lanes hit max steps and were reset
+    assert bool(jnp.all(done))
+    assert bool(jnp.all(st.num_steps == 0))
+    assert obs.shape == (8, 2)
+
+
+def test_noise_utils():
+    rng = np.random.default_rng(0)
+    batch = {"obs": np.zeros((4, 3, 2), np.float32),
+             "state": rng.normal(size=(4, 5, 2)).astype(np.float32)}
+    for nt in (0, 1, 2, 3):
+        out = add_data_noise(batch, noise_type=nt, std=0.1, rng=rng)
+        assert out["obs"].shape == batch["obs"].shape
+    assert np.abs(add_data_noise(batch, 1, 0.1, rng=rng)["obs"]).sum() > 0
+
+
+def test_linearize_once_streaming():
+    env = PendulumEnv()
+    bsz, T, nx, nu = 4, 5, 2, 1
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (bsz, nx)))
+    x_ref = jnp.tile(jnp.asarray([np.pi, 0.0]), (bsz, T, 1))
+    Qd = jnp.tile(jnp.asarray(np.concatenate([env.Qlqr, env.Rlqr])), (bsz, T, 1))
+    q = -Qd * jnp.concatenate([x_ref, jnp.zeros((bsz, T, nu))], -1)
+    cost = QuadCost(Q=Qd, q=q, f=jnp.zeros((bsz, T)))
+
+    def dyn_jac(x, u):
+        xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+        return xn, jnp.concatenate([Jx, Ju], -1)
+
+    mpc = ALMPC(nx, nu, T, u_lower=env.action_space.low,
+                u_upper=env.action_space.high,
+                dyn=env.dynamics, dyn_jac=dyn_jac, dtype=jnp.float64)
+    # warm start from a full nonlinear solve
+    st = mpc.init_state(bsz)
+    x, u, _, st = mpc.solve(x0, cost, st, al_iter=4)
+    st = mpc.warm_start_shift(st, 1e2)
+    x0_next = env.dynamics(x[:, 0], u[:, 0])
+    x2, u2, status, st2 = mpc.solve_linearize_once(x0_next, cost, st)
+    assert x2.shape == (bsz, T, nx)
+    assert bool(jnp.all(jnp.isfinite(x2))) and bool(jnp.all(jnp.isfinite(u2)))
+    # the solver enforces the FROZEN linear model (that is the
+    # linearize-once contract); nonlinear fidelity depends on how far
+    # the solution moves from the linearization point
+    lin = mpc._lin_current
+    xu = jnp.concatenate([x2, u2], -1)[:, :-1]
+    lin_next = jnp.einsum("btij,btj->bti", lin.F, xu) + lin.f
+    assert float(jnp.abs(x2[:, 1:] - lin_next).max()) < 5e-2
+    defects = x2[:, 1:] - env.dynamics(x2[:, :-1], u2[:, :-1])
+    assert float(jnp.abs(defects).max()) < 0.5
