@@ -28,6 +28,7 @@ class IPMPC:
     def __init__(self, nx: int, nu: int, T: int, u_lower=None, u_upper=None,
                  dyn: Callable = None, dyn_jac: Callable = None,
                  qp_iter: int = 1, ipm_iters: int = 18,
+                 elastic: bool = False, elastic_mu: float = 10.0,
                  dtype=jnp.float32):
         self.nx, self.nu, self.T = nx, nu, T
         self.n = nx + nu
@@ -41,6 +42,11 @@ class IPMPC:
         self.nz = T * self.n
         self.ne = T * nx
         self.ni = 2 * nu * T
+        # SL1QP elastic mode (`qpth/sl1qp_mpc.py`): slack the equality
+        # constraints with an l1 penalty mu so infeasible linearizations
+        # stay solvable: min .. + mu*1'(t+ + t-) s.t. Az + t+ - t- = b
+        self.elastic = elastic
+        self.elastic_mu = elastic_mu
 
     def _assemble(self, x, u, x0, cost: QuadCost):
         """Dense (Q, p, G, h, A, b) at the linearization point."""
@@ -78,7 +84,34 @@ class IPMPC:
             h = h.at[r + nu : r + 2 * nu].set(-self.u_lower)
         G = jnp.broadcast_to(G, (bsz, self.ni, self.nz))
         h = jnp.broadcast_to(h, (bsz, self.ni))
+        if self.elastic:
+            return self._sl1qpify(Q, p, G, h, A, b)
         return Q, p, G, h, A, b
+
+    def _sl1qpify(self, Q, p, G, h, A, b):
+        """Append elastic slacks t+, t- to the QP (`sl1qp_mpc.py:703`
+        `sl1qpify`): z_ext = [z; t+; t-], equality rows become
+        A z + t+ - t- = b, slacks nonnegative with l1 cost mu."""
+        bsz = p.shape[0]
+        dt = p.dtype
+        nz, ne, ni = self.nz, self.ne, self.ni
+        mu = self.elastic_mu
+        nz2 = nz + 2 * ne
+        Q2 = jnp.zeros((bsz, nz2, nz2), dt).at[:, :nz, :nz].set(Q)
+        Q2 = Q2 + 1e-8 * jnp.eye(nz2, dtype=dt)  # keep SPD for the IPM
+        p2 = jnp.concatenate([p, jnp.full((bsz, 2 * ne), mu, dt)], axis=1)
+        eyee = jnp.broadcast_to(jnp.eye(ne, dtype=dt), (bsz, ne, ne))
+        A2 = jnp.concatenate([A, eyee, -eyee], axis=2)
+        Gpad = jnp.concatenate([G, jnp.zeros((bsz, ni, 2 * ne), dt)], axis=2)
+        # -t <= 0 rows for both slack blocks
+        slack_rows = jnp.concatenate(
+            [jnp.zeros((bsz, 2 * ne, nz), dt),
+             jnp.broadcast_to(-jnp.eye(2 * ne, dtype=dt), (bsz, 2 * ne, 2 * ne))],
+            axis=2,
+        )
+        G2 = jnp.concatenate([Gpad, slack_rows], axis=1)
+        h2 = jnp.concatenate([h, jnp.zeros((bsz, 2 * ne), dt)], axis=1)
+        return Q2, p2, G2, h2, A2, b
 
     @staticmethod
     def _block_diag(Qd):
@@ -111,7 +144,7 @@ class IPMPC:
                 z = qp_layer(Q, p, G, h, A, b, self.ipm_iters)
             else:
                 z = qp_solve(Q, p, G, h, A, b, self.ipm_iters).z
-            tau = z.reshape(bsz, T, n)
+            tau = z[:, : self.nz].reshape(bsz, T, n)
             x_new, u_new = tau[..., :nx], tau[..., nx:]
             if not last:
                 # merit line search on the true dynamics defect

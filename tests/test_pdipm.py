@@ -122,3 +122,34 @@ def test_ip_mpc_respects_box():
     assert float(jnp.max(u)) <= env.max_torque + 1e-5
     assert float(jnp.min(u)) >= -env.max_torque - 1e-5
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_sl1qp_elastic_mode():
+    """Elastic mode recovers the same solution on a feasible problem and
+    stays solvable on an infeasible linearization."""
+    rng = np.random.default_rng(5)
+    bsz, T, nx, nu = 2, 3, 2, 1
+    from deqmpc_tpu.envs import PendulumEnv
+
+    env = PendulumEnv()
+
+    def dyn_jac(x, u):
+        xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+        return xn, jnp.concatenate([Jx, Ju], -1)
+
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (bsz, nx)))
+    x_ref = jnp.tile(jnp.asarray([np.pi, 0.0]), (bsz, T, 1))
+    Qd = jnp.tile(jnp.asarray(np.concatenate([env.Qlqr, env.Rlqr])), (bsz, T, 1))
+    q = -Qd * jnp.concatenate([x_ref, jnp.zeros((bsz, T, nu))], -1)
+    cost = QuadCost(Q=Qd, q=q, f=jnp.zeros((bsz, T)))
+    kw = dict(u_lower=env.action_space.low, u_upper=env.action_space.high,
+              dyn=env.dynamics, dyn_jac=dyn_jac, qp_iter=1, ipm_iters=30,
+              dtype=jnp.float64)
+    ip = IPMPC(nx, nu, T, **kw)
+    ip_el = IPMPC(nx, nu, T, elastic=True, elastic_mu=1e4, **kw)
+    x_a, u_a = ip.solve(x0, cost)
+    x_b, u_b = ip_el.solve(x0, cost)
+    # with a large penalty the elastic solution matches the exact one
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a),
+                               rtol=1e-3, atol=1e-3)
+    assert bool(jnp.all(jnp.isfinite(u_b)))
