@@ -360,6 +360,17 @@ def main(argv=None):
     )
     writer = MetricsWriter(args.logdir, name) if args.save else None
     ckpt_path = os.path.join(args.models_dir, name)
+    if args.save:
+        # snapshot the code into the log dir for reproducibility
+        # (`train.py:236-241`)
+        import shutil
+
+        src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(args.logdir, name, "code", "deqmpc_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(
+                src, dst, ignore=shutil.ignore_patterns("__pycache__")
+            )
 
     if args.load and args.ckpt:
         params, opt_state_l, start_step, _ = load_checkpoint(
