@@ -100,11 +100,15 @@ class ALMPC:
         )
 
     # -- dynamics plumbing ----------------------------------------------------
+    # outputs are pinned to the solver dtype: env constants are f64
+    # numpy, which would silently promote the whole f32 solve under
+    # jax_enable_x64
     def _dyn_batched(self, x, u):
-        return self.dyn(x, u)
+        return self.dyn(x, u).astype(self.dtype)
 
     def _dyn_jac_batched(self, x, u):
-        return self.dyn_jac(x, u)
+        xn, F = self.dyn_jac(x, u)
+        return xn.astype(self.dtype), F.astype(self.dtype)
 
     # -- state management -----------------------------------------------------
     def init_state(self, bsz: int) -> ALState:

@@ -120,6 +120,89 @@ def anderson(f, x0: Array, m: int = 5, lam: float = 1e-6, max_steps: int = 10,
     return best_z.reshape(orig_shape), info
 
 
+def anderson_jiio(f, x0: Array, m: int = 5, lam: float = 1e-6,
+                  max_steps: int = 50, tol: float = 1e-5,
+                  stop_mode: str = "rel", beta: float = 0.8,
+                  warmup: int = 10) -> Tuple[Array, FPInfo]:
+    """JIIO-flavored Anderson (`fp_solvers.py:126-217`): f returns
+    (next_iterate, cost); the best-iterate acceptance trades off the
+    fixed-point residual against the cost — accept when the residual
+    improves, when still in warmup, or when the cost improves and the
+    residual is within 1.3x of the best."""
+    orig_shape = x0.shape
+    bsz = orig_shape[0]
+    z0 = x0.reshape(bsz, -1)
+    dtype = z0.dtype
+
+    costs = {}
+
+    def ff(z_flat, k):
+        out, cost = f(z_flat.reshape(orig_shape), k)
+        return out.reshape(bsz, -1), cost
+
+    # reuse the plain Anderson mixing by tracking cost alongside
+    N = z0.shape[1]
+    X = jnp.zeros((bsz, m, N), dtype)
+    F = jnp.zeros((bsz, m, N), dtype)
+    f0, c0 = ff(z0, 0)
+    X = X.at[:, 0].set(z0)
+    F = F.at[:, 0].set(f0)
+    f1, c1 = ff(f0, 1)
+    X = X.at[:, 1].set(f0)
+    F = F.at[:, 1].set(f1)
+    big = jnp.asarray(1e12, dtype)
+    best_err = jnp.full((bsz,), big, dtype)
+    best_cost = c1
+    best_z = X[:, 1]
+    best_step = jnp.ones((bsz,), jnp.int32)
+
+    def body(k, carry):
+        X, F, best_z, best_err, best_cost, best_step, final_err = carry
+        valid = (jnp.arange(m) < jnp.minimum(k, m)).astype(dtype)
+        G = F - X
+        Hb = jnp.einsum("bin,bjn->bij", X, G)
+        vmask = valid[:, None] * valid[None, :]
+        diag_scale = jnp.mean(
+            jnp.abs(jnp.diagonal(Hb, axis1=-2, axis2=-1)), axis=-1
+        )[:, None, None] + 1e-30
+        Hb = Hb * vmask + lam * diag_scale * jnp.eye(m, dtype=dtype) * valid[:, None]
+        Hb = Hb + jnp.eye(m, dtype=dtype) * (1.0 - valid)[:, None]
+        Hfull = jnp.zeros((bsz, m + 1, m + 1), dtype)
+        Hfull = Hfull.at[:, 0, 1:].set(valid)
+        Hfull = Hfull.at[:, 1:, 0].set(valid)
+        Hfull = Hfull.at[:, 1:, 1:].set(Hb)
+        y = jnp.zeros((bsz, m + 1), dtype).at[:, 0].set(1.0)
+        alpha = jnp.linalg.solve(Hfull, y[..., None])[..., 0][:, 1:] * valid
+        x_new = beta * jnp.einsum("bm,bmn->bn", alpha, F) + (1 - beta) * jnp.einsum(
+            "bm,bmn->bn", alpha, X
+        )
+        f_new, cost = ff(x_new, k)
+        slot = k % m
+        X = X.at[:, slot].set(x_new)
+        F = F.at[:, slot].set(f_new)
+        gx = f_new - x_new
+        abs_diff = jnp.linalg.norm(gx, axis=1)
+        err = abs_diff / (1e-5 + jnp.linalg.norm(f_new, axis=1)) \
+            if stop_mode == "rel" else abs_diff
+        improved_res = err < best_err
+        accept = jnp.logical_or(
+            jnp.logical_or(improved_res, k < warmup),
+            jnp.logical_and(cost < best_cost, err < 1.3 * best_err),
+        )
+        best_z = jnp.where(accept[:, None], x_new, best_z)
+        best_cost = jnp.where(accept, cost, best_cost)
+        best_step = jnp.where(accept, k, best_step)
+        best_err = jnp.where(improved_res, err, best_err)
+        return X, F, best_z, best_err, best_cost, best_step, err
+
+    init = (X, F, best_z, best_err, best_cost, best_step,
+            jnp.full((bsz,), big, dtype))
+    out = lax.fori_loop(2, max_steps, body, init)
+    _, _, best_z, best_err, _, best_step, final_err = out
+    info = FPInfo(best_err=best_err, best_step=best_step, final_err=final_err)
+    return best_z.reshape(orig_shape), info
+
+
 def broyden(f, x0: Array, max_steps: int = 20, tol: float = 1e-5,
             stop_mode: str = "abs") -> Tuple[Array, FPInfo]:
     """'Good Broyden' root-finder for g(z) = f(z) - z with a low-rank

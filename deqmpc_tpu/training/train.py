@@ -51,6 +51,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--qp_iter", type=int, default=1)
     p.add_argument("--eps", type=float, default=1e-2)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"])
     p.add_argument("--warm_start", type=bool, default=True)
     p.add_argument("--bsz", type=int, default=128)
     p.add_argument("--deq", action="store_true")
@@ -348,9 +350,17 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     params = policy.init(rng)
 
+    if getattr(args, "lr_schedule", "constant") == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=args.lr * 0.1, peak_value=args.lr,
+            warmup_steps=200, decay_steps=args.max_train_steps,
+            end_value=args.lr * 0.02,
+        )
+    else:
+        sched = args.lr
     optimizer = optax.chain(
         optax.clip_by_global_norm(2.0),  # `train.py:335`
-        optax.adam(args.lr),
+        optax.adam(sched),
     )
     opt_state = optimizer.init(params)
 

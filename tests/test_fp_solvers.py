@@ -74,3 +74,17 @@ def test_anderson_jits_and_multidim():
     run = jax.jit(lambda z0: anderson(f3, z0, m=5, max_steps=25)[0])
     z = run(jnp.zeros((2, 3, 4)))
     np.testing.assert_allclose(z.reshape(2, -1), z_star, atol=1e-5)
+
+
+def test_anderson_jiio():
+    from deqmpc_tpu.solvers.fp import anderson_jiio
+
+    f0, z_star = _contraction(seed=4)
+
+    def f_cost(z, k):
+        out = f0(z)
+        cost = jnp.sum((out - z) ** 2, axis=-1)
+        return out, cost
+
+    z, info = anderson_jiio(f_cost, jnp.zeros_like(z_star), max_steps=25)
+    np.testing.assert_allclose(z, z_star, atol=1e-3)
