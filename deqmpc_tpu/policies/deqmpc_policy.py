@@ -71,6 +71,8 @@ class PolicyConfig:
 
 
 class DEQMPCPolicy:
+    takes_history = False  # history variants consume (bsz, H, nx) obs
+
     def __init__(self, cfg: PolicyConfig, env, obstacles=None):
         self.cfg = cfg
         self.env = env

@@ -58,6 +58,8 @@ class DEQMPCPolicyHistory(DEQMPCPolicy):
     DEQLayerHistoryState (deq_out_type=1) or DEQLayerHistory
     (deq_out_type=2)."""
 
+    takes_history = True
+
     def __init__(self, cfg: PolicyConfig, env, H: int = 1, obstacles=None):
         self.H = H
         super().__init__(cfg, env, obstacles=obstacles)

@@ -95,6 +95,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--streaming_steps", type=int, default=3)
     p.add_argument("--streaming_start_iter", type=int, default=0)
     p.add_argument("--deq_type", type=str, default="deq", choices=["deq", "nn"])
+    p.add_argument("--policy_variant", type=str, default="base",
+                   choices=["base", "mem", "history", "estpred", "feedback", "q"],
+                   help="DEQ-MPC policy variant (the reference selects the "
+                        "class in code, `policies.py:283-504`)")
     p.add_argument("--Qscale", type=float, default=1.0)
     p.add_argument("--m", type=int, default=5)
     p.add_argument("--max_steps", type=int, default=10)
@@ -151,9 +155,30 @@ def build_policy(args, env, obstacles=None):
         rho_init_max=args.rho_init_max, rho_max=rho_max,
         solver_type=args.solver_type, qp_iter=args.qp_iter,
     )
-    if args.deq:
-        return DEQMPCPolicy(cfg, env, obstacles=obstacles)
-    return NNMPCPolicy(cfg, env, obstacles=obstacles)
+    if not args.deq:
+        return NNMPCPolicy(cfg, env, obstacles=obstacles)
+    variant = getattr(args, "policy_variant", "base")
+    if getattr(args, "addmem", False):
+        variant = "mem"
+    if variant != "base":
+        from ..policies.policy_variants import (DEQMPCPolicyFeedback,
+                                                DEQMPCPolicyHistory,
+                                                DEQMPCPolicyHistoryEstPred,
+                                                DEQMPCPolicyMem,
+                                                DEQMPCPolicyQ)
+
+        if variant == "mem":
+            return DEQMPCPolicyMem(cfg, env, obstacles=obstacles)
+        if variant == "history":
+            return DEQMPCPolicyHistory(cfg, env, H=args.H, obstacles=obstacles)
+        if variant == "estpred":
+            return DEQMPCPolicyHistoryEstPred(cfg, env, H=args.H,
+                                              obstacles=obstacles)
+        if variant == "feedback":
+            return DEQMPCPolicyFeedback(cfg, env, obstacles=obstacles)
+        if variant == "q":
+            return DEQMPCPolicyQ(cfg, env, obstacles=obstacles)
+    return DEQMPCPolicy(cfg, env, obstacles=obstacles)
 
 
 def unnormalize_for_env(env_name, x):
@@ -172,7 +197,10 @@ def make_train_step(policy, optimizer, args):
     qp_solve, lastqp_solve = args.qp_solve, args.lastqp_solve
 
     def loss_fn(params, batch, coeffs):
-        obs = batch["obs"][:, -1] if batch["obs"].ndim == 3 else batch["obs"]
+        if getattr(policy, "takes_history", False):
+            obs = batch["obs"]
+        else:
+            obs = batch["obs"][:, -1] if batch["obs"].ndim == 3 else batch["obs"]
         policy_out, carry = policy.forward(
             params, obs, qp_solve=qp_solve, lastqp_solve=lastqp_solve
         )
