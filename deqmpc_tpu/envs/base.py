@@ -20,14 +20,11 @@ broadcast over arbitrary leading batch dims; Jacobians come from
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from ..utils import Spaces
 
 Array = jax.Array
 

@@ -21,15 +21,15 @@ the current observation is prepended as knot 0.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..solvers.fp import anderson, broyden
-from .blocks import (ConvCell, ConvInput, ConvOutput, GatedResidual, MLPCell,
-                     MLPInput, MLPOutput)
+from .blocks import (ConvCell, ConvInput, ConvOutput, MLPCell, MLPInput,
+                     MLPOutput)
 
 Array = jax.Array
 

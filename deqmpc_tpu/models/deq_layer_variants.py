@@ -20,14 +20,14 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .blocks import ConvCell, ConvOutput, MLPCell, MLPInput, MLPOutput, get_act
+from .blocks import ConvOutput, MLPInput, MLPOutput, get_act
 from .deq_layer import DEQLayer, DEQLayerConfig
 
 Array = jax.Array

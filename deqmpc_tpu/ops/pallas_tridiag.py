@@ -21,7 +21,6 @@ parity tested in interpret mode on CPU and compiled on TPU.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

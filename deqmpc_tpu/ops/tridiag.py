@@ -25,7 +25,7 @@ Ld[t] and sub-diagonal blocks M[t] = O[t-1]' Ld[t-1]^{-T}):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

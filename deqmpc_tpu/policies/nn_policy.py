@@ -4,7 +4,6 @@ T-step trajectory (actions / states / both / configurations, selected
 by out_type), trained with the same masked imitation loss."""
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import flax.linen as nn

@@ -13,14 +13,11 @@
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..models.deq_layer import DEQLayerConfig
 from ..models.deq_layer_variants import (DEQLayerFeedback, DEQLayerHistory,
                                          DEQLayerHistoryState,
                                          DEQLayerHistoryStateEstPred,

@@ -25,7 +25,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .types import LinDx, QuadCost
+from .types import LinDx
 
 Array = jax.Array
 

@@ -15,7 +15,6 @@ Newton solve's custom_vjp only.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -18,7 +18,6 @@ per step under XLA).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

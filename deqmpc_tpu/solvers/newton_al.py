@@ -22,7 +22,6 @@ autograd.Function + parallel line search, re-designed for XLA:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -30,11 +29,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.pallas_tridiag import pallas_block_tridiag_solve
-from ..ops.tridiag import (BTFactor, block_tridiag_factor,
-                           block_tridiag_solve_factored)
-from .al_core import (ObstacleSet, compute_cost, eq_residuals,
-                      eq_residuals_se, full_residuals, merit_function,
-                      merit_grad_blocks)
+from ..ops.tridiag import block_tridiag_factor, block_tridiag_solve_factored
+from .al_core import (eq_residuals, eq_residuals_se, full_residuals,
+                      merit_function, merit_grad_blocks)
 
 Array = jax.Array
 

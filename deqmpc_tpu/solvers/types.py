@@ -8,7 +8,7 @@ solver — no module mutation — so the whole solve jits and shards.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
