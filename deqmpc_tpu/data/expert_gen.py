@@ -36,7 +36,9 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
                            max_newton_steps=6, rho_max=1e8)
     targ = jnp.asarray(env.targ_pos, jnp.float32)
     x_ref_tile = jnp.broadcast_to(targ, (bsz, horizon, env.nx))
-    u_ref_tile = jnp.zeros((bsz, horizon, env.nu), jnp.float32)
+    # reference action: the env's trim action (hover thrust for
+    # RexQuadrotor, zero for envs that offset internally)
+    u_ref_tile = jnp.full((bsz, horizon, env.nu), env.u_trim, jnp.float32)
 
     @jax.jit
     def rollout(x0, sol_state0):

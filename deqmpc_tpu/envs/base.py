@@ -39,6 +39,12 @@ class Env:
     dt: float
     spec_id: str = "Env-v0"
     _max_episode_steps: int = 200
+    # trim action (holds the target equilibrium) in *raw* action
+    # coordinates — nonzero only where the env does not already add a
+    # hover offset inside its dynamics (RexQuadrotor takes raw rotor
+    # commands, `rex_quadrotor.py:118-121`; FlyingCartpole adds
+    # u_hover internally, `flying_cartpole2d.py:113`)
+    u_trim: float = 0.0
 
     # -- core dynamics -------------------------------------------------------
     def _dynamics_single(self, x: Array, u: Array) -> Array:

@@ -44,6 +44,7 @@ class RexQuadrotor(Env):
         ss = np.array([[1.0, 1, 0], [1.0, -1, 0], [-1.0, -1, 0], [-1.0, 1, 0]])
         self.ss = ss / np.linalg.norm(ss, axis=-1, keepdims=True)
         self.u_hover = float((-mass * gravity[2] - bf * 4) / self.act_scale / kf / 4)
+        self.u_trim = self.u_hover  # raw rotor command that hovers
         self.Qlqr = np.array([10.0] * 6 + [1.0] * 6, dtype=np.float64)
         self.Rlqr = np.full(4, 1e-8, dtype=np.float64)
         self.observation_space = Spaces(np.full(12, -np.inf), np.full(12, np.inf))

@@ -29,6 +29,38 @@ from .types import ALState, LinDx, QuadCost
 Array = jax.Array
 
 
+def warm_start_al(lam: Array, rho: Array, cost_start: Array,
+                  cost_hist: Array, lam_hist: Array, rho_hist: Array
+                  ) -> Tuple[Array, Array]:
+    """Cost-history warm start (`qpth/al_utils.py:17-35` warm_start_al).
+
+    Per sample, find the first history entry whose recorded cost is
+    below the current starting cost, rescale the dual vector to that
+    entry's norm, and restart rho from that entry. Shapes:
+      lam (bsz, ncon), rho (bsz, 1) or (bsz,),
+      cost_hist (H, bsz), lam_hist (H, bsz, ncon), rho_hist (H,) + rho dims.
+    """
+    idx = jnp.argmax(cost_hist < cost_start[None], axis=0)      # first hit
+    lam_sel = jnp.take_along_axis(
+        lam_hist, idx[None, :, None], axis=0)[0]                # (bsz, ncon)
+    num = jnp.linalg.norm(lam_sel, axis=-1)
+    den = jnp.linalg.norm(lam, axis=-1)
+    lam = lam * (num / (den + 1e-30))[:, None]
+    rho_sel = jnp.take_along_axis(
+        rho_hist.reshape(rho_hist.shape[0], -1), idx[None, :], axis=0
+    )[0].reshape(rho.shape)
+    return lam, rho_sel
+
+
+def warm_start_al_stream(rho: Array, cost_start: Array, cost_hist: Array,
+                         rho_hist: Array) -> Array:
+    """Streaming flavor (`al_utils.py:37-49`): restart rho only."""
+    idx = jnp.argmax(cost_hist < cost_start[None], axis=0)
+    return jnp.take_along_axis(
+        rho_hist.reshape(rho_hist.shape[0], -1), idx[None, :], axis=0
+    )[0].reshape(rho.shape)
+
+
 class ALMPC:
     """Differentiable batched AL trajectory optimizer.
 
@@ -152,12 +184,16 @@ class ALMPC:
     def solve(self, x0: Array, cost: QuadCost, state: ALState,
               al_iter: Optional[int] = None,
               x_init: Optional[Array] = None, u_init: Optional[Array] = None,
-              streaming: bool = False) -> Tuple[Array, Array, Array, ALState]:
+              streaming: bool = False, return_history: bool = False):
         """Run the AL loop. Returns (x, u, status, new_state).
 
         x_init/u_init: warm-start trajectories used when the state has
         no primal iterate yet (the Tracking adapter passes the network
         reference, `policies.py:1242-1244`).
+
+        return_history=True additionally returns the per-AL-iteration
+        (cost, lam, rho) stacks — the reference's `cost_lam_hist`
+        (`AL_mpc.py:282,326-331`) — for `warm_start_al` restarts.
         """
         al_iter = self.al_iter if al_iter is None else al_iter
         nx = self.nx
@@ -179,6 +215,8 @@ class ALMPC:
         obs = self._obs_current
         stopped = jnp.zeros((), bool)  # streaming rho-overflow exit
         xu = jnp.concatenate([x, u], axis=-1)
+        hist_cost = [compute_cost(lax.stop_gradient(xu), Q, q)]
+        hist_lam, hist_rho = [lam], [rho]
         for i in range(al_iter):
             xu_in = lax.stop_gradient(xu)
             xu_new, nstatus = self._newton(xu_in, x0, lam, rho, Q, q)
@@ -211,6 +249,9 @@ class ALMPC:
                 stopped = jnp.logical_or(stopped, jnp.max(rho) > self.rho_max)
             else:
                 lam, rho = lam_next, rho_next
+            hist_cost.append(compute_cost(xu_sg, Q, q))
+            hist_lam.append(lam)
+            hist_rho.append(rho)
 
         x, u = xu[..., :nx], xu[..., nx:]
         new_state = ALState(
@@ -219,6 +260,9 @@ class ALMPC:
             has_init=jnp.ones((bsz,), bool),
         )
         status = jnp.broadcast_to(stopped, (bsz,)) if streaming else jnp.zeros((bsz,), bool)
+        if return_history:
+            hist = (jnp.stack(hist_cost), jnp.stack(hist_lam), jnp.stack(hist_rho))
+            return x, u, status, new_state, hist
         return x, u, status, new_state
 
     def solve_linearize_once(self, x0: Array, cost: QuadCost, state: ALState,

@@ -76,12 +76,120 @@ def _solve_kkt(Q, G, A, s, lam, rz, rs, ri, re, eps=1e-9):
     return dz, ds, dlam, dnu
 
 
-def qp_solve(Q, p, G, h, A, b, iters: int = 18) -> QPSolution:
-    """Mehrotra predictor-corrector PDIPM, fixed iterations, batched."""
+def _chol_solve(L, B):
+    """Batched solve of (L L') X = B given lower-triangular L."""
+    from jax.scipy.linalg import solve_triangular
+    y = solve_triangular(L, B, lower=True)
+    return solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+
+
+class KKTFactors(NamedTuple):
+    """One-time factorizations for the Schur-complement KKT solve
+    (`pdipm/batch.py:377-428` pre_factor_kkt). Computed once per QP;
+    the per-IPM-iteration work drops from one (nz+2ni+ne) dense solve
+    to one (ni x ni) Cholesky.
+
+        S = [ A Q^-1 A'   A Q^-1 G'            ]
+            [ G Q^-1 A'   G Q^-1 G' + D^-1     ],  D = diag(lam/s)
+
+    R = G Q^-1 G' - (G Q^-1 A') (A Q^-1 A')^-1 (A Q^-1 G') is the
+    D-independent part of S's Schur complement; each iteration only
+    factors T = R + diag(s/lam) (the reference's factor_kkt :434-469).
+    """
+    Lq: Array          # (bsz, nz, nz) chol(Q)
+    invQ_GT: Array     # (bsz, nz, ni)
+    G_invQ_GT: Array   # (bsz, ni, ni)
+    La: Array          # (bsz, ne, ne) chol(A Q^-1 A') (ne>0) else (bsz,0,0)
+    invQ_AT: Array     # (bsz, nz, ne)
+    G_invQ_AT: Array   # (bsz, ni, ne)
+    R: Array           # (bsz, ni, ni)
+
+
+def pre_factor_kkt(Q, G, A) -> KKTFactors:
+    """All D-independent factorizations (`batch.py:377-428`)."""
+    bsz, ni, nz = G.shape
+    ne = A.shape[1]
+    Lq = jnp.linalg.cholesky(Q)
+    invQ_GT = _chol_solve(Lq, jnp.swapaxes(G, -1, -2))
+    G_invQ_GT = jnp.einsum("bij,bjk->bik", G, invQ_GT)
+    if ne > 0:
+        invQ_AT = _chol_solve(Lq, jnp.swapaxes(A, -1, -2))
+        A_invQ_AT = jnp.einsum("bij,bjk->bik", A, invQ_AT)
+        G_invQ_AT = jnp.einsum("bij,bjk->bik", G, invQ_AT)
+        La = jnp.linalg.cholesky(A_invQ_AT)
+        R = G_invQ_GT - jnp.einsum(
+            "bij,bjk->bik", G_invQ_AT,
+            _chol_solve(La, jnp.swapaxes(G_invQ_AT, -1, -2)))
+    else:
+        invQ_AT = jnp.zeros((bsz, nz, 0), Q.dtype)
+        G_invQ_AT = jnp.zeros((bsz, ni, 0), Q.dtype)
+        La = jnp.zeros((bsz, 0, 0), Q.dtype)
+        R = G_invQ_GT
+    return KKTFactors(Lq, invQ_GT, G_invQ_GT, La, invQ_AT, G_invQ_AT, R)
+
+
+def _solve_kkt_prefactored(fac: KKTFactors, G, A, s, lam,
+                           rz, rs, ri, re, eps=1e-9):
+    """Same Newton step as `_solve_kkt`, via the pre-factored Schur
+    blocks (`batch.py:351-374` solve_kkt + :434-469 factor_kkt).
+
+    Block elimination of the symmetrized system
+      [[Q, G', A'], [G, -diag(s/lam), 0], [A, 0, 0]] d = -[rz, ri-rs/lam, re]
+    gives S w = [re - A Q^-1 rz ; ri - rs/lam - G Q^-1 rz] for
+    w = (dnu, dlam), then dz, ds by back-substitution.
+    """
+    ne = A.shape[1]
+    Dsl = s / lam + eps
+    T = fac.R + jnp.einsum(
+        "ij,bj->bij", jnp.eye(G.shape[1], dtype=G.dtype), Dsl)
+    Lt = jnp.linalg.cholesky(T)
+    invQ_rz = _chol_solve(fac.Lq, rz[..., None])[..., 0]
+    b2 = ri - rs / lam - jnp.einsum("bij,bj->bi", G, invQ_rz)
+    if ne > 0:
+        b1 = re - jnp.einsum("bij,bj->bi", A, invQ_rz)
+        y1 = _chol_solve(fac.La, b1[..., None])[..., 0]
+        t = b2 - jnp.einsum("bij,bj->bi", fac.G_invQ_AT, y1)
+        dlam = _chol_solve(Lt, t[..., None])[..., 0]
+        dnu = _chol_solve(
+            fac.La,
+            (b1 - jnp.einsum("bji,bj->bi", fac.G_invQ_AT, dlam))[..., None]
+        )[..., 0]
+        dz = -_chol_solve(
+            fac.Lq,
+            (rz + jnp.einsum("bij,bi->bj", G, dlam)
+             + jnp.einsum("bij,bi->bj", A, dnu))[..., None])[..., 0]
+    else:
+        dlam = _chol_solve(Lt, b2[..., None])[..., 0]
+        dnu = jnp.zeros((s.shape[0], 0), s.dtype)
+        dz = -_chol_solve(
+            fac.Lq,
+            (rz + jnp.einsum("bij,bi->bj", G, dlam))[..., None])[..., 0]
+    ds = -(rs + s * dlam) / lam
+    return dz, ds, dlam, dnu
+
+
+def qp_solve(Q, p, G, h, A, b, iters: int = 18,
+             prefactor: bool = False) -> QPSolution:
+    """Mehrotra predictor-corrector PDIPM, fixed iterations, batched.
+
+    prefactor=True uses the Schur-complement path with Q and A Q^-1 A'
+    factored once (`pdipm/batch.py` pre_factor_kkt/factor_kkt); the
+    default factors the full dense KKT each iteration
+    (`pdipm/batch_LU.py`). Both produce the same Newton steps.
+    """
     bsz, nz = p.shape
     ni = G.shape[1]
     ne = A.shape[1]
     dt = p.dtype
+
+    if prefactor:
+        fac = pre_factor_kkt(Q, G, A)
+
+        def kkt(s, lam, rz, rs, ri, re):
+            return _solve_kkt_prefactored(fac, G, A, s, lam, rz, rs, ri, re)
+    else:
+        def kkt(s, lam, rz, rs, ri, re):
+            return _solve_kkt(Q, G, A, s, lam, rz, rs, ri, re)
 
     # initialization (OptNet-style): one least-squares-ish KKT solve
     # with s = lam = 1, then shift into the positive orthant
@@ -90,7 +198,7 @@ def qp_solve(Q, p, G, h, A, b, iters: int = 18) -> QPSolution:
     nu0 = jnp.zeros((bsz, ne), dt)
     z0 = jnp.zeros((bsz, nz), dt)
     rz, rs, ri, re = _kkt_residuals(z0, s0, l0, nu0, Q, p, G, h, A, b, mu=0.0)
-    dz, ds, dlam, dnu = _solve_kkt(Q, G, A, s0, l0, rz, rs, ri, re)
+    dz, ds, dlam, dnu = kkt(s0, l0, rz, rs, ri, re)
     z = z0 + dz
     nu = nu0 + dnu
     s_cand = s0 + ds
@@ -112,7 +220,7 @@ def qp_solve(Q, p, G, h, A, b, iters: int = 18) -> QPSolution:
         z, s, lam, nu, best = carry
         rz, rs, ri, re = _kkt_residuals(z, s, lam, nu, Q, p, G, h, A, b)
         # affine (predictor) step
-        dz_a, ds_a, dl_a, dnu_a = _solve_kkt(Q, G, A, s, lam, rz, rs, ri, re)
+        dz_a, ds_a, dl_a, dnu_a = kkt(s, lam, rz, rs, ri, re)
 
         def max_step(v, dv):
             # largest alpha in (0, 1] keeping v + alpha dv >= 0
@@ -125,7 +233,7 @@ def qp_solve(Q, p, G, h, A, b, iters: int = 18) -> QPSolution:
         sigma = (mu_aff / (mu + 1e-30)) ** 3
         # corrector + centering
         rs_c = rs + ds_a * dl_a - (sigma * mu)[:, None]
-        dz, ds, dlam, dnu = _solve_kkt(Q, G, A, s, lam, rz, rs_c, ri, re)
+        dz, ds, dlam, dnu = kkt(s, lam, rz, rs_c, ri, re)
         alpha = 0.99 * jnp.minimum(max_step(s, ds), max_step(lam, dlam))[:, None]
         z = z + alpha * dz
         s = s + alpha * ds
@@ -204,3 +312,17 @@ def _qp_bwd(iters, saved, gz):
 
 
 qp_layer.defvjp(_qp_fwd, _qp_bwd)
+
+
+def qp_solve_single(Q, p, G, h, A=None, b=None, iters: int = 18,
+                    prefactor: bool = False) -> QPSolution:
+    """Single-instance PDIPM (`qpth/solvers/pdipm/single.py:10-94`):
+    unbatched convenience wrapper over the batched solver (on TPU a
+    batch of one compiles to the same program)."""
+    nz = p.shape[0]
+    if A is None:
+        A = jnp.zeros((0, nz), p.dtype)
+        b = jnp.zeros((0,), p.dtype)
+    sol = qp_solve(Q[None], p[None], G[None], h[None], A[None], b[None],
+                   iters=iters, prefactor=prefactor)
+    return QPSolution(*(x[0] for x in sol))

@@ -153,3 +153,36 @@ def test_sl1qp_elastic_mode():
     np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a),
                                rtol=1e-3, atol=1e-3)
     assert bool(jnp.all(jnp.isfinite(u_b)))
+
+
+def test_qp_prefactored_matches_dense():
+    """The Schur-complement (pre-factored) path produces the same
+    solution as the dense-KKT path (`pdipm/batch.py` vs `batch_LU.py`)."""
+    rng = np.random.default_rng(7)
+    Q, p, G, h, A, b = _random_qp(rng)
+    dense = qp_solve(Q, p, G, h, A, b)
+    pref = qp_solve(Q, p, G, h, A, b, prefactor=True)
+    np.testing.assert_allclose(np.asarray(pref.z), np.asarray(dense.z),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pref.lam), np.asarray(dense.lam),
+                               rtol=1e-3, atol=1e-4)
+    # no-equality case
+    A0 = jnp.zeros((Q.shape[0], 0, Q.shape[1]))
+    b0 = jnp.zeros((Q.shape[0], 0))
+    dense0 = qp_solve(Q, p, G, h, A0, b0)
+    pref0 = qp_solve(Q, p, G, h, A0, b0, prefactor=True)
+    np.testing.assert_allclose(np.asarray(pref0.z), np.asarray(dense0.z),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_qp_single_instance():
+    """Unbatched wrapper (`pdipm/single.py` parity)."""
+    from deqmpc_tpu.solvers.pdipm import qp_solve_single
+    rng = np.random.default_rng(3)
+    Q, p, G, h, A, b = _random_qp(rng, bsz=1)
+    sol = qp_solve_single(Q[0], p[0], G[0], h[0], A[0], b[0])
+    zs = _scipy_qp(*(np.asarray(v[0], np.float64) for v in (Q, p, G, h, A, b)))
+    np.testing.assert_allclose(np.asarray(sol.z), zs, rtol=1e-3, atol=1e-4)
+    sol_nf = qp_solve_single(Q[0], p[0], G[0], h[0])
+    assert sol_nf.z.shape == (Q.shape[1],)
+    assert bool(jnp.all(jnp.isfinite(sol_nf.z)))
