@@ -11,7 +11,11 @@ Gradient semantics ("phantom gradient", `deq_layer_utils.py:173-190`):
 the Anderson/Broyden solve runs under stop_gradient, then the cell is
 re-applied 3 times with gradients engaged — NOT implicit
 differentiation. `grad_type='bptt'` (unrolled) and 'last_step_grad'
-are also supported via fp_type='multi'/'single'.
+are also supported via fp_type='multi'/'single', and
+`grad_type='implicit'` gives the true implicit-VJP backward of the
+legacy `DEQPolicy` (`deq_layer.py:1334-1355`): the cotangent solves
+the transpose fixed point w = J'w + g with the same accelerated
+solver, then pulls back through one cell application.
 
 Decode convention (`deq_layer.py:81-90`): the network emits
 (T-1) x nx deltas; positions integrate from the *current* state
@@ -32,6 +36,44 @@ from .blocks import (ConvCell, ConvInput, ConvOutput, MLPCell, MLPInput,
                      MLPOutput)
 
 Array = jax.Array
+
+
+def make_implicit_fp(cell_apply, solver, **solver_kwargs):
+    """Fixed-point solve with true implicit-VJP backward (the legacy
+    `DEQPolicy.deq_fixed_point`, `deq_layer.py:1334-1355`).
+
+    Forward: z* = solver(f(.)), f(z) = cell_apply(params, inj, z).
+    Backward: w solves the transpose fixed point w = (df/dz)'w + g via
+    the SAME accelerated solver (reference registers a backward hook
+    running its solver on the JVP closure); parameter/input cotangents
+    are one VJP of f at z* contracted with w. No gradient flows to z0.
+
+    Returns fp(params, inj, z0) -> (z_star, best_err, best_step).
+    """
+
+    @jax.custom_vjp
+    def fp(cell_params, inj, z0):
+        z_star, info = solver(
+            lambda zz: lax.stop_gradient(cell_apply(cell_params, inj, zz)),
+            lax.stop_gradient(z0), **solver_kwargs)
+        return z_star, info.best_err, info.best_step
+
+    def fp_fwd(cell_params, inj, z0):
+        out = fp(cell_params, inj, z0)
+        return out, (cell_params, inj, out[0])
+
+    def fp_bwd(saved, cots):
+        cell_params, inj, z_star = saved
+        g = cots[0]  # no cotangents for the stats outputs
+        _, vjp_z = jax.vjp(lambda zz: cell_apply(cell_params, inj, zz), z_star)
+        w, _ = solver(lambda ww: vjp_z(ww)[0] + g, g, **solver_kwargs)
+        _, vjp_pi = jax.vjp(
+            lambda p, i: cell_apply(p, i, z_star), cell_params, inj)
+        gp, gi = vjp_pi(w)
+        return gp, gi, jnp.zeros_like(z_star)
+
+    fp.defvjp(fp_fwd, fp_bwd)
+    return fp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,6 +182,18 @@ class DEQLayer:
                     z = f(z)
             return z, stats
         solver = anderson if c.fp_type == "anderson" else broyden
+        if c.grad_type == "implicit":
+            kw = (dict(m=c.fp_m, max_steps=c.fp_max_steps, tol=c.fp_tol)
+                  if c.fp_type == "anderson"
+                  else dict(max_steps=c.fp_max_steps, tol=c.fp_tol))
+            fp = make_implicit_fp(
+                lambda p, i, zz: self.cell_mod.apply(p, i, zz), solver, **kw)
+            z_star, best_err, best_step = fp(params["cell"], inj, z)
+            stats = {
+                "fwd_err": jnp.mean(best_err),
+                "fwd_steps": jnp.mean(best_step.astype(jnp.float32)),
+            }
+            return z_star, stats
         if c.fp_type == "anderson":
             z_star, info = solver(
                 lambda zz: lax.stop_gradient(f(zz)), lax.stop_gradient(z),
