@@ -56,6 +56,13 @@ def merge_args(args, saved_args):
 
 
 def _shift_angles(x, idxs):
+    # stay in numpy for host-side (data-pipeline) inputs: a jnp round
+    # trip here costs ~30 ms/call through the TPU tunnel per train step
+    if isinstance(x, np.ndarray):
+        out = x.copy()
+        out[..., np.asarray(idxs)] = np.mod(out[..., np.asarray(idxs)],
+                                            2.0 * np.pi)
+        return out
     x = jnp.asarray(x)
     shifted = jnp.mod(x[..., idxs], 2.0 * jnp.pi)
     return x.at[..., idxs].set(shifted)
@@ -63,15 +70,15 @@ def _shift_angles(x, idxs):
 
 def unnormalize_states_pendulum(x):
     """Pendulum state (theta, thetadot): wrap theta into [0, 2pi)."""
-    return _shift_angles(x, jnp.array([0]))
+    return _shift_angles(x, np.array([0]))
 
 
 def unnormalize_states_cartpole_nlink(x):
     """Cartpole n-link state (px, q1..qn-1, vels): wrap joint angles."""
     nq = x.shape[-1] // 2
-    return _shift_angles(x, jnp.arange(1, nq))
+    return _shift_angles(x, np.arange(1, nq))
 
 
 def unnormalize_states_flyingcartpole(x):
     """FlyingCartpole state: wrap the pendulum angle (index 6)."""
-    return _shift_angles(x, jnp.array([6]))
+    return _shift_angles(x, np.array([6]))
