@@ -430,8 +430,8 @@ def main(argv=None):
 
     coeffs = jnp.ones((args.deq_iter, 3))
     best_val = np.inf
-    losses, losses_end, times = [], [], []
-    t_start = time.time()
+    losses, losses_end = [], []
+    t_window = time.time()
     for i in range(args.start_iter + 1, args.max_train_steps):
         if (args.streaming and not streaming_active
                 and i > args.streaming_start_iter):
@@ -442,15 +442,15 @@ def main(argv=None):
             unnormalize_for_env(args.env, batch["state"]))
         batch["obs"] = np.asarray(unnormalize_for_env(args.env, batch["obs"]))
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        t0 = time.time()
         params, opt_state, loss, aux, gnorm = train_step(
             params, opt_state, batch, coeffs
         )
-        loss = float(loss)
-        times.append(time.time() - t0)
+        # keep loss/aux as device arrays between validations: a float()
+        # here forces a per-step device sync (~2 RPCs/step through the
+        # TPU tunnel); the NaN check only needs to run at val cadence
         losses.append(loss)
-        losses_end.append(float(aux["loss_end"]))
-        if not np.isfinite(loss):
+        losses_end.append(aux["loss_end"])
+        if i % args.val_every == 0 and not np.isfinite(float(loss)):
             print(f"[{i}] non-finite loss, stopping")
             break
         if args.grad_coeff and i % args.val_every == 0 and not streaming_active:
@@ -467,11 +467,12 @@ def main(argv=None):
         if i % args.val_every == 0:
             val_loss = validate_policy(policy, loss_fn, params, val_samples, coeffs)
             scalars = {
-                "losses/loss_avg": float(np.mean(losses)) / total_deq_iter,
-                "losses/loss_end": float(np.mean(losses_end)),
+                # one device fetch for the whole window, not one per step
+                "losses/loss_avg": float(jnp.mean(jnp.stack(losses))) / total_deq_iter,
+                "losses/loss_end": float(jnp.mean(jnp.stack(losses_end))),
                 "val_losses/loss_end": val_loss,
                 "grad_norm": float(gnorm),
-                "time/per_step": float(np.mean(times)),
+                "time/per_step": (time.time() - t_window) / max(len(losses), 1),
             }
             for k in range(args.deq_iter):
                 scalars[f"losses/loss{k}"] = float(aux["losses_iter"][k])
@@ -489,7 +490,8 @@ def main(argv=None):
             if args.save and val_loss < best_val:
                 best_val = val_loss
                 save_checkpoint(ckpt_path, params, opt_state, i, args)
-            losses, losses_end, times = [], [], []
+            losses, losses_end = [], []
+            t_window = time.time()
     return params
 
 
