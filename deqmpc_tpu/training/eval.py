@@ -19,11 +19,13 @@ from ..policies import compute_loss_deqmpc
 
 
 def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
-                ep_len: int = 100, seed: int = 0,
+                ep_len: int = None, seed: int = 0,
                 warm_start: bool = True) -> Dict[str, float]:
     """Closed-loop evaluation: at each env step run the policy forward
     (cold start on step 0, warm-started after), apply the first
     nominal action."""
+    if ep_len is None:
+        ep_len = getattr(env, "_max_episode_steps", 200)
     rng = jax.random.PRNGKey(seed)
     x = env.reset(rng, n_episodes)
 

@@ -189,6 +189,16 @@ def unnormalize_for_env(env_name, x):
     return x
 
 
+def preprocess_batch(env_name, nx, batch):
+    """Host-side batch preprocessing: angle convention shift + window
+    unwrap (continuous supervision targets across the 0/2pi wrap)."""
+    batch["state"] = np.asarray(unnormalize_for_env(env_name, batch["state"]))
+    batch["obs"] = np.asarray(unnormalize_for_env(env_name, batch["obs"]))
+    idxs = utils.angle_idxs_for_env(env_name, nx)
+    batch["state"] = utils.unwrap_angle_windows(batch["state"], idxs)
+    return batch
+
+
 def make_train_step(policy, optimizer, args):
     """One jitted training step (`global_fwd` + backward + Adam)."""
 
@@ -368,7 +378,9 @@ def main(argv=None):
     rng_np = np.random.default_rng(args.seed)
     horizon_T = args.T + args.streaming_steps * int(args.streaming)
     val_samples = [
-        sample_trajectory(val_gt, args.bsz, args.H, horizon_T, rng_np)
+        preprocess_batch(args.env, env.nx,
+                         sample_trajectory(val_gt, args.bsz, args.H,
+                                           horizon_T, rng_np))
         for _ in range(10)
     ]
 
@@ -438,9 +450,7 @@ def main(argv=None):
             streaming_active = True
             train_step, loss_fn = make_streaming_train_step(policy, optimizer, args)
         batch = sample_trajectory(gt, args.bsz, args.H, horizon_T, rng_np)
-        batch["state"] = np.asarray(
-            unnormalize_for_env(args.env, batch["state"]))
-        batch["obs"] = np.asarray(unnormalize_for_env(args.env, batch["obs"]))
+        batch = preprocess_batch(args.env, env.nx, batch)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         params, opt_state, loss, aux, gnorm = train_step(
             params, opt_state, batch, coeffs

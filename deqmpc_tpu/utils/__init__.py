@@ -82,3 +82,37 @@ def unnormalize_states_cartpole_nlink(x):
 def unnormalize_states_flyingcartpole(x):
     """FlyingCartpole state: wrap the pendulum angle (index 6)."""
     return _shift_angles(x, np.array([6]))
+
+
+# --- window angle unwrapping ---------------------------------------------
+# Supervision windows that cross the 0/2pi wrap carry a ~2pi jump in the
+# stored angle (5% of pendulum swing-up windows): an l1 target the
+# network cannot match and the dynamics-constrained MPC cannot
+# reproduce. Unwrap along the time axis, anchored at knot 0 (== the
+# current observation), so targets are continuous; the dynamics are
+# 2pi-periodic so slightly out-of-range references are fine.
+
+_ANGLE_IDXS = {
+    "pendulum": lambda nx: np.array([0]),
+    "cartpole": lambda nx: np.arange(1, nx // 2),
+    "flyingcartpole": lambda nx: np.array([6]),
+}
+
+
+def angle_idxs_for_env(env_name: str, nx: int):
+    if env_name.startswith("pendulum"):
+        return _ANGLE_IDXS["pendulum"](nx)
+    if "cartpole" in env_name and "Flying" not in env_name:
+        return _ANGLE_IDXS["cartpole"](nx)
+    if "FlyingCartpole" in env_name:
+        return _ANGLE_IDXS["flyingcartpole"](nx)
+    return None
+
+
+def unwrap_angle_windows(x: np.ndarray, idxs) -> np.ndarray:
+    """np.unwrap the angle dims of a (..., T, nx) window along T."""
+    if idxs is None or len(idxs) == 0:
+        return x
+    out = np.array(x, copy=True)
+    out[..., idxs] = np.unwrap(out[..., idxs], axis=-2)
+    return out

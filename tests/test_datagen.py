@@ -53,3 +53,45 @@ def test_history_never_crosses_episode_boundary():
                 found = True
                 break
         assert found
+
+
+def test_unwrap_angle_windows():
+    import numpy as np
+    from deqmpc_tpu.utils import angle_idxs_for_env, unwrap_angle_windows
+
+    x = np.zeros((3, 5, 2))
+    x[0, :, 0] = [6.2, 6.27, 0.05, 0.12, 0.2]     # crosses 2pi upward
+    x[1, :, 0] = [0.15, 0.05, 6.25, 6.1, 6.0]     # crosses downward
+    x[2, :, 0] = [3.0, 3.1, 3.2, 3.3, 3.4]        # no crossing
+    x[:, :, 1] = 7.0                              # velocity untouched
+    y = unwrap_angle_windows(x, angle_idxs_for_env("pendulum", 2))
+    assert np.all(np.abs(np.diff(y[..., 0], axis=-1)) < 1.0)
+    assert np.allclose(y[2], x[2])
+    assert np.allclose(y[..., 1], 7.0)
+    # anchored at knot 0
+    assert np.allclose(y[:, 0], x[:, 0])
+    # cartpole: only joint angles (idx 1..nq-1) unwrapped, not px
+    x6 = np.zeros((1, 4, 6))
+    x6[0, :, 1] = [6.2, 0.1, 0.3, 0.5]
+    x6[0, :, 0] = [6.2, 0.1, 0.3, 0.5]  # px looks like a jump but isn't an angle
+    y6 = unwrap_angle_windows(x6, angle_idxs_for_env("cartpole1link", 6))
+    assert np.all(np.abs(np.diff(y6[0, :, 1])) < 1.0)
+    assert np.allclose(y6[0, :, 0], x6[0, :, 0])
+
+
+def test_preprocess_batch_consistency():
+    import numpy as np
+    from deqmpc_tpu.training.train import preprocess_batch
+
+    rng = np.random.default_rng(0)
+    state = rng.uniform(-np.pi, np.pi, (4, 5, 2))
+    state[:, :, 0] = np.cumsum(rng.uniform(-0.3, 0.3, (4, 5)), axis=1)
+    batch = {"state": state.copy(),
+             "obs": state[:, 0].copy(),
+             "action": rng.normal(size=(4, 5, 1)),
+             "mask": np.ones((4, 5))}
+    out = preprocess_batch("pendulum", 2, batch)
+    # obs and state[:, 0] stay consistent after unnormalize+unwrap
+    np.testing.assert_allclose(out["state"][:, 0], out["obs"], rtol=1e-12)
+    # window continuous
+    assert np.all(np.abs(np.diff(out["state"][..., 0], axis=-1)) < 1.0)
