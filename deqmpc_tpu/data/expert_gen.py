@@ -108,8 +108,18 @@ def generate_pendulum_energy_expert(env, n_episodes: int = 256,
         return jnp.clip(u, -u_max, u_max)[..., None]
 
     rng = jax.random.PRNGKey(seed)
-    rng, r0 = jax.random.split(rng)
+    rng, r0, r1, r2 = jax.random.split(rng, 4)
     x0 = env.reset(r0, n_episodes)
+    # catch-phase coverage: the PD-stabilizable basin at the top is
+    # tiny (u_max=2 vs mgl=10 -> |err| < ~0.2), and the swing-up
+    # transient passes through it for only a few steps per episode.
+    # Start a third of the episodes near the top so the policy sees
+    # dense catch/recover behavior.
+    n_catch = n_episodes // 3
+    if n_catch > 0:
+        th0 = jnp.pi + jax.random.uniform(r1, (n_catch,), minval=-0.9, maxval=0.9)
+        thd0 = jax.random.uniform(r2, (n_catch,), minval=-2.5, maxval=2.5)
+        x0 = x0.at[:n_catch].set(jnp.stack([th0, thd0], axis=-1))
 
     @jax.jit
     def rollout(x0, key):
@@ -140,12 +150,18 @@ def main():
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--teacher", type=str, default="mpc")
+    p.add_argument("--noise_std", type=float, default=0.2,
+                   help="exploration noise of the analytic teacher; wide "
+                        "coverage around the expert tube is what makes "
+                        "behavior cloning robust in closed loop (the "
+                        "reference's SAC/CGAC teachers are stochastic)")
     args = p.parse_args()
 
     env = make_env(args.env)
     if args.env.startswith("pendulum") and not args.env.endswith("stabilize"):
         episodes = generate_pendulum_energy_expert(
             env, n_episodes=args.episodes, ep_len=args.ep_len, seed=args.seed,
+            noise_std=args.noise_std,
         )
     else:
         episodes = generate_mpc_expert(

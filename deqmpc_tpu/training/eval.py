@@ -20,12 +20,18 @@ from ..policies import compute_loss_deqmpc
 
 def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
                 ep_len: int = None, seed: int = 0,
-                warm_start: bool = True) -> Dict[str, float]:
+                warm_start: bool = None) -> Dict[str, float]:
     """Closed-loop evaluation: at each env step run the policy forward
     (cold start on step 0, warm-started after), apply the first
     nominal action."""
     if ep_len is None:
         ep_len = getattr(env, "_max_episode_steps", 200)
+    if warm_start is None:
+        # match the training protocol: the warm-started receding-horizon
+        # forward is the deployment mode of *streaming-trained* policies
+        # (`deqmpc_iter_warm_start`); cold-start-per-step matches the
+        # cold-start training distribution otherwise
+        warm_start = bool(getattr(args, "streaming", False))
     rng = jax.random.PRNGKey(seed)
     x = env.reset(rng, n_episodes)
 

@@ -421,9 +421,19 @@ def main(argv=None):
             )
 
     if args.load and args.ckpt:
-        params, opt_state_l, start_step, _ = load_checkpoint(
-            os.path.join(args.models_dir, args.ckpt), params, opt_state
-        )
+        # eval never needs optimizer state; for resume, only restore it
+        # when the saved structure matches the current optimizer (e.g.
+        # the same --lr_schedule), else start the optimizer fresh
+        try:
+            params, opt_state_l, start_step, _ = load_checkpoint(
+                os.path.join(args.models_dir, args.ckpt), params,
+                None if args.eval else opt_state,
+            )
+        except ValueError:
+            params, opt_state_l, start_step, _ = load_checkpoint(
+                os.path.join(args.models_dir, args.ckpt), params, None
+            )
+            print("checkpoint optimizer state incompatible; reinitialized")
         if opt_state_l is not None:
             opt_state = opt_state_l
 
