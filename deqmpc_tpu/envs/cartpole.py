@@ -32,6 +32,42 @@ from ..utils.rotations import angle_normalize_2pi, rk4
 from .base import Env
 
 
+def _solve_spd_small(M, b):
+    """Closed-form solve of a tiny SPD system (n <= 3) via the adjugate.
+
+    `jnp.linalg.solve` on a traced 2x2/3x3 lowers to a general LU with
+    serialized inner loops on TPU — catastrophic inside the solver's
+    nested vmap/jacfwd (measured ~50x on the full AL solve). Cramer's
+    rule is a handful of fused multiplies the MXU/VPU eats for free.
+    """
+    n = M.shape[-1]
+    if n == 1:
+        return b / M[..., 0, 0]
+    if n == 2:
+        a, c = M[..., 0, 0], M[..., 0, 1]
+        d = M[..., 1, 1]
+        det = a * d - c * c
+        x0 = (d * b[..., 0] - c * b[..., 1]) / det
+        x1 = (a * b[..., 1] - c * b[..., 0]) / det
+        return jnp.stack([x0, x1], axis=-1)
+    if n == 3:
+        m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+        c00 = m11 * m22 - m12 * m12
+        c01 = m02 * m12 - m01 * m22
+        c02 = m01 * m12 - m02 * m11
+        c11 = m00 * m22 - m02 * m02
+        c12 = m01 * m02 - m00 * m12
+        c22 = m00 * m11 - m01 * m01
+        det = m00 * c00 + m01 * c01 + m02 * c02
+        b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+        x0 = (c00 * b0 + c01 * b1 + c02 * b2) / det
+        x1 = (c01 * b0 + c11 * b1 + c12 * b2) / det
+        x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
+        return jnp.stack([x0, x1, x2], axis=-1)
+    return jnp.linalg.solve(M, b)
+
+
 class CartpoleEnv(Env):
     def __init__(self, nx: int = 4, dt: float = 0.05, stabilization: bool = False,
                  mc: float = 1.0, mp: float = 0.1, length: float = 0.5,
@@ -97,15 +133,29 @@ class CartpoleEnv(Env):
         heights = jnp.cumsum(self.length * jnp.cos(a))
         return self.mp * self.g * jnp.sum(heights)
 
+    def _dV_dq(self, q):
+        """Closed-form gravity gradient: V = mp*g*l * sum_j w_j cos(a_j)
+        with a = cumsum(theta) and w_j = #tips at-or-beyond link j."""
+        a = jnp.cumsum(q[1:])
+        w = jnp.arange(self.n_links, 0, -1, dtype=q.dtype)
+        s = w * jnp.sin(a)
+        # dV/dtheta_k = -mp*g*l * sum_{j>=k} s_j  (suffix sum)
+        dtheta = -self.mp * self.g * self.length * (
+            jnp.cumsum(s[::-1])[::-1]
+        )
+        return jnp.concatenate([jnp.zeros(1, q.dtype), dtheta])
+
     def _accel(self, q, qd, u):
+        # One forward-mode Jacobian of the (closed-form) mass matrix gives
+        # every velocity-product term; no reverse-mode AD inside the
+        # dynamics, which keeps vmap(jacfwd(rk4(.))) cheap on TPU.
         M = self._mass_matrix(q)
-        # bias h = (d(M qd)/dq) qd - dT/dq + dV/dq, each a single fwd/rev AD
-        Mdot_qd = jax.jvp(lambda qq: self._mass_matrix(qq) @ qd, (q,), (qd,))[1]
-        dT_dq = jax.grad(lambda qq: 0.5 * qd @ self._mass_matrix(qq) @ qd)(q)
-        dV_dq = jax.grad(self._potential)(q)
-        h = Mdot_qd - dT_dq + dV_dq
+        dMdq = jax.jacfwd(self._mass_matrix)(q)  # (nq, nq, nq)
+        Mdot_qd = jnp.einsum("ijk,j,k->i", dMdq, qd, qd)
+        dT_dq = 0.5 * jnp.einsum("jki,j,k->i", dMdq, qd, qd)
+        h = Mdot_qd - dT_dq + self._dV_dq(q)
         tau = jnp.zeros(self.nq, q.dtype).at[0].set(u[0])
-        return jnp.linalg.solve(M, tau - h)
+        return _solve_spd_small(M, tau - h)
 
     def _dynamics_single(self, x, u):
         def xdot(state, uu):
