@@ -27,42 +27,60 @@ from .datagen import DATA_DIR, expert_data_path
 
 def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
                         horizon: int = 30, seed: int = 0,
-                        al_iters: int = 2, rho_init_max: float = 1e2,
-                        dtype=jnp.float32):
+                        al_iters: int = 8, rho_init_max: float = 1e4,
+                        noise_std: float = 0.0, dtype=jnp.float32):
     """Closed-loop batched MPC rollouts. Returns a list of episodes,
-    each a list of (state, action) tuples (reference pickle format)."""
+    each a list of (state, action) tuples (reference pickle format).
+
+    al_iters must be enough to drive rho high (rho0=1, x10/iter): with
+    few AL iterations the initial-state constraint is still soft and
+    the "solution" starts from a fantasy x0 nearer the target, so the
+    applied first action is garbage (measured: dyn_res 0.5 at
+    al_iters=2 vs 1e-3 at 8 on RexQuadrotor).
+
+    noise_std > 0 records the CLEAN expert action but steps the env
+    with a noise-perturbed one (DART-style), so the dataset covers a
+    tube around the expert manifold like the reference's stochastic
+    SAC/CGAC teachers did.
+    """
     bsz = n_episodes
     tracking = TrackingMPC(env, horizon, al_iter=al_iters, dtype=dtype,
-                           max_newton_steps=6, rho_max=1e8)
+                           max_newton_steps=8, rho_max=1e8)
     targ = jnp.asarray(env.targ_pos, jnp.float32)
     x_ref_tile = jnp.broadcast_to(targ, (bsz, horizon, env.nx))
     # reference action: the env's trim action (hover thrust for
     # RexQuadrotor, zero for envs that offset internally)
     u_ref_tile = jnp.full((bsz, horizon, env.nu), env.u_trim, jnp.float32)
 
+    u_lo = jnp.asarray(env.action_space.low)
+    u_hi = jnp.asarray(env.action_space.high)
+
     @jax.jit
-    def rollout(x0, sol_state0):
-        def body(carry, _):
+    def rollout(x0, sol_state0, key):
+        def body(carry, k):
             x, sol_state = carry
             xs, us, status, sol_state = tracking(
                 x.astype(jnp.float32), x_ref_tile, u_ref_tile, sol_state,
                 al_iters=al_iters,
             )
-            u0 = jnp.clip(
-                us[:, 0],
-                jnp.asarray(env.action_space.low),
-                jnp.asarray(env.action_space.high),
-            )
-            x_next, _ = env.step(x, u0)
+            u0 = jnp.clip(us[:, 0], u_lo, u_hi)
+            u_apply = u0
+            if noise_std > 0:
+                u_apply = jnp.clip(
+                    u0 + noise_std * jax.random.normal(k, u0.shape), u_lo, u_hi
+                )
+            x_next, _ = env.step(x, u_apply)
             sol_state = tracking.warm_start_state(sol_state, rho_init_max)
             return (x_next, sol_state), (x, u0)
 
-        (_, _), (xs, us) = jax.lax.scan(body, (x0, sol_state0), None, length=ep_len)
+        keys = jax.random.split(key, ep_len)
+        (_, _), (xs, us) = jax.lax.scan(body, (x0, sol_state0), keys)
         return xs, us
 
     rng = jax.random.PRNGKey(seed)
+    rng, kr = jax.random.split(rng)
     x0 = env.reset(rng, bsz)
-    xs, us = rollout(x0, tracking.init_state(bsz))
+    xs, us = rollout(x0, tracking.init_state(bsz), kr)
     states = np.moveaxis(np.asarray(xs), 0, 1)   # (bsz, ep_len, nx)
     actions = np.moveaxis(np.asarray(us), 0, 1)
     # drop lanes that went non-finite
@@ -150,12 +168,19 @@ def main():
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--teacher", type=str, default="mpc")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend so data generation can run "
+                        "while the single TPU chip is busy training")
+    p.add_argument("--al_iters", type=int, default=2)
     p.add_argument("--noise_std", type=float, default=0.2,
                    help="exploration noise of the analytic teacher; wide "
                         "coverage around the expert tube is what makes "
                         "behavior cloning robust in closed loop (the "
                         "reference's SAC/CGAC teachers are stochastic)")
     args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     env = make_env(args.env)
     if args.env.startswith("pendulum") and not args.env.endswith("stabilize"):
@@ -166,7 +191,8 @@ def main():
     else:
         episodes = generate_mpc_expert(
             env, n_episodes=args.episodes, ep_len=args.ep_len,
-            horizon=args.horizon, seed=args.seed,
+            horizon=args.horizon, seed=args.seed, al_iters=args.al_iters,
+            noise_std=args.noise_std,
         )
     os.makedirs(DATA_DIR, exist_ok=True)
     path = expert_data_path(env.spec_id, args.teacher)
