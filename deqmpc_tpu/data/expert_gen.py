@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import utils
 from ..envs import make_env
 from ..policies.tracking_mpc import TrackingMPC
 from .datagen import DATA_DIR, expert_data_path
@@ -28,7 +29,8 @@ from .datagen import DATA_DIR, expert_data_path
 def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
                         horizon: int = 30, seed: int = 0,
                         al_iters: int = 8, rho_init_max: float = 1e4,
-                        noise_std: float = 0.0, dtype=jnp.float32):
+                        noise_std: float = 0.0, env_name: str = None,
+                        dtype=jnp.float32):
     """Closed-loop batched MPC rollouts. Returns a list of episodes,
     each a list of (state, action) tuples (reference pickle format).
 
@@ -42,12 +44,32 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     with a noise-perturbed one (DART-style), so the dataset covers a
     tube around the expert manifold like the reference's stochastic
     SAC/CGAC teachers did.
+
+    Angle-wrapped envs (cartpole wraps into [0, 2pi) with the target
+    AT the wrap boundary, `my_envs/cartpole.py:90-92,177`): the
+    teacher plans on a continuous (unwrapped) shadow state, with the
+    reference angle snapped per step to the nearest 2pi-multiple of
+    the target, and records the env-convention wrapped state. Without
+    this, a pole at theta=6.27 looks a full revolution away from
+    theta=0 and the "expert" swings it all the way around.
     """
     bsz = n_episodes
     tracking = TrackingMPC(env, horizon, al_iter=al_iters, dtype=dtype,
                            max_newton_steps=8, rho_max=1e8)
     targ = jnp.asarray(env.targ_pos, jnp.float32)
+    idxs = utils.angle_idxs_for_env(env_name or env.spec_id, env.nx)
+    idxs = None if idxs is None or len(idxs) == 0 else jnp.asarray(idxs)
     x_ref_tile = jnp.broadcast_to(targ, (bsz, horizon, env.nx))
+
+    def snap_ref(x):
+        """Target trajectory with angle dims moved to the nearest
+        2pi-multiple of the target angle, per sample."""
+        if idxs is None:
+            return x_ref_tile
+        th, tg = x[:, idxs], targ[idxs]
+        snapped = tg + 2 * jnp.pi * jnp.round((th - tg) / (2 * jnp.pi))
+        return x_ref_tile.at[:, :, idxs].set(snapped[:, None, :])
+
     # reference action: the env's trim action (hover thrust for
     # RexQuadrotor, zero for envs that offset internally)
     u_ref_tile = jnp.full((bsz, horizon, env.nu), env.u_trim, jnp.float32)
@@ -58,9 +80,9 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     @jax.jit
     def rollout(x0, sol_state0, key):
         def body(carry, k):
-            x, sol_state = carry
+            x, sol_state = carry  # x: continuous (unwrapped) state
             xs, us, status, sol_state = tracking(
-                x.astype(jnp.float32), x_ref_tile, u_ref_tile, sol_state,
+                x.astype(jnp.float32), snap_ref(x), u_ref_tile, sol_state,
                 al_iters=al_iters,
             )
             u0 = jnp.clip(us[:, 0], u_lo, u_hi)
@@ -69,9 +91,9 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
                 u_apply = jnp.clip(
                     u0 + noise_std * jax.random.normal(k, u0.shape), u_lo, u_hi
                 )
-            x_next, _ = env.step(x, u_apply)
+            x_next = env.dynamics(x, u_apply)  # no wrap on the shadow state
             sol_state = tracking.warm_start_state(sol_state, rho_init_max)
-            return (x_next, sol_state), (x, u0)
+            return (x_next, sol_state), (env.state_clip(x), u0)
 
         keys = jax.random.split(key, ep_len)
         (_, _), (xs, us) = jax.lax.scan(body, (x0, sol_state0), keys)
@@ -192,15 +214,21 @@ def main():
         episodes = generate_mpc_expert(
             env, n_episodes=args.episodes, ep_len=args.ep_len,
             horizon=args.horizon, seed=args.seed, al_iters=args.al_iters,
-            noise_std=args.noise_std,
+            noise_std=args.noise_std, env_name=args.env,
         )
     os.makedirs(DATA_DIR, exist_ok=True)
     path = expert_data_path(env.spec_id, args.teacher)
     with open(path, "wb") as f:
         pickle.dump(episodes, f)
-    # quick quality report: mean final distance to target
+    # quick quality report: mean final distance to target (wrap-aware
+    # on angle dims — a converged pole at 6.283 is at the target, not
+    # 2pi away)
     finals = np.stack([ep[-1][0] for ep in episodes])
-    d = np.linalg.norm(finals - np.asarray(env.targ_pos), axis=-1)
+    err = finals - np.asarray(env.targ_pos)
+    idxs = utils.angle_idxs_for_env(args.env, env.nx)
+    if idxs is not None and len(idxs) > 0:
+        err[:, idxs] = np.mod(err[:, idxs] + np.pi, 2 * np.pi) - np.pi
+    d = np.linalg.norm(err, axis=-1)
     print(f"wrote {len(episodes)} episodes to {path}")
     print(f"final |x - targ|: mean {d.mean():.3f} median {np.median(d):.3f}")
 
