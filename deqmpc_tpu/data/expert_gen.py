@@ -182,6 +182,170 @@ def generate_pendulum_energy_expert(env, n_episodes: int = 256,
     return episodes
 
 
+def generate_flying_cartpole_expert(env, n_episodes: int = 256,
+                                    ep_len: int = 240, seed: int = 0,
+                                    noise_std: float = 0.005):
+    """Cascade analytic teacher for the flying cartpole: pole
+    energy-shaping -> desired world acceleration -> geometric attitude
+    control -> motor mixing.
+
+    The one-shot AL trajectory optimization cannot discover the
+    swing-up from a cold rollout init (lambda blows up at rho=1e8 with
+    dyn_res ~0.3 even in f64 — the Gauss-Newton model is too weak for
+    this strongly nonlinear system), and the reference's data script
+    for this env is not public (`datagen.py:26-28`, SURVEY.md 0).
+    The cascade exploits the same structure the pendulum teacher does
+    (`generate_pendulum_energy_expert`): pump pole energy via world-x
+    acceleration (theta_dd = (g sin + x_dd cos)/L,
+    `flying_cartpole2d.py:128-133`), PD-capture near upright, PD the
+    quad back to the origin, track the acceleration with a geometric
+    attitude controller and invert the motor mixing.
+    """
+    from ..utils.rotations import mrp2quat, mrp2rot, quatrot
+
+    m, L, g = env.mass, env.L, 9.81
+    kf, km = env.kf, env.km
+    act_scale, u_hover = env.act_scale, env.u_hover
+    J = jnp.asarray(env.J, jnp.float32)
+    arms = env.motor_dist * env.ss                       # (4, 3)
+    # mixing: per-motor thrust f -> [T, tau_x, tau_y, tau_z]
+    mix = np.zeros((4, 4))
+    mix[0] = 1.0                                          # total thrust
+    mix[1] = arms[:, 1]                                   # tau_x =  a_y f
+    mix[2] = -arms[:, 0]                                  # tau_y = -a_x f
+    mix[3] = (km / kf) * np.array([1.0, -1.0, 1.0, -1.0])  # yaw drag
+    mix_inv = jnp.asarray(np.linalg.inv(mix), jnp.float32)
+    E_star = 2 * g / L
+    u_lo = jnp.asarray(env.action_space.low)
+    u_hi = jnp.asarray(env.action_space.high)
+
+    a_h_max = g * np.tan(np.deg2rad(28.0))  # tilt-limited lateral accel
+
+    def expert_u(x, mode, key):
+        """mode: per-lane bool, True once the capture controller has
+        engaged (hysteresis: engage in a tight window, release only if
+        the pole clearly escapes — prevents chattering at the window
+        boundary, which re-kicks the pole every time)."""
+        r, p, th = x[..., :3], x[..., 3:6], x[..., 6]
+        v, w, thd = x[..., 7:10], x[..., 10:13], x[..., 13]
+        q = mrp2quat(p)
+        vel_w = quatrot(q, v)                             # world velocity
+        R = mrp2rot(p)                                    # body->world
+
+        # --- pole loop: desired world-x acceleration ---
+        e_th = jnp.mod(th - jnp.pi + jnp.pi, 2 * jnp.pi) - jnp.pi
+        E = 0.5 * thd**2 + (g / L) * (1 - jnp.cos(th))
+        engage = jnp.logical_and(jnp.abs(e_th) < 0.3, jnp.abs(thd) < 1.6)
+        release = jnp.logical_or(jnp.abs(e_th) > 0.75, jnp.abs(thd) > 3.5)
+        near = jnp.logical_and(jnp.logical_or(mode, engage),
+                               jnp.logical_not(release))
+        # bang-bang energy pump (dE/dt = thd * x_dd * cos(th) / L): a
+        # magnitude ~ energy deficit, sign following thd*cos(th), with
+        # a kick when starting at rest. Target slightly ABOVE E* so the
+        # pole actually reaches the top (with sqrt(2*eps) residual
+        # speed) instead of stalling asymptotically below it.
+        pump_dir = thd * jnp.cos(th)
+        pump_dir = jnp.where(jnp.abs(pump_dir) < 1e-3, 1.0, jnp.sign(pump_dir))
+        ax_pump = jnp.clip(1.5 * jnp.abs(1.005 * E_star - E), 0.3, 3.0) * pump_dir
+        ax_pump = ax_pump + jnp.clip(-0.1 * r[..., 0] - 0.5 * vel_w[..., 0], -1.0, 1.0)
+        # capture: pole-dominant linear law (k_e must exceed g for the
+        # upright linearization e_dd = (g e - a)/L; authority cap keeps
+        # the basin tilt-feasible). Position feedback acts through a
+        # desired pole LEAN, not an additive accel: sustained accel a
+        # requires e = a/g at pole equilibrium (theta_dd = 0), so
+        # commanding e_des = a_pos_des/g and feeding g*e_des forward
+        # decelerates the quad while the pole stays balanced.
+        e_des = jnp.clip((-0.4 * r[..., 0] - 0.9 * vel_w[..., 0]) / g,
+                         -0.18, 0.18)
+        # lead compensation: the attitude loop takes ~2 control steps
+        # (0.1 s) to realize a demanded tilt, a long delay against the
+        # pole's 0.23 s time constant — act on the PREDICTED error
+        e_lead = e_th + 0.12 * thd
+        ax_capture = jnp.clip(
+            13.0 * (e_lead - e_des) + 2.0 * thd + g * e_des,
+            -a_h_max, a_h_max)
+        a_x = jnp.where(near, ax_capture, ax_pump)
+
+        # --- position loop (y, z) ---
+        a_y = jnp.clip(-1.5 * r[..., 1] - 2.2 * vel_w[..., 1], -2.0, 2.0)
+        a_z = jnp.clip(-1.5 * r[..., 2] - 2.2 * vel_w[..., 2], -2.0, 2.0)
+        # tilt limiter: keep the demanded lateral acceleration inside
+        # what a ~25deg tilt can deliver; beyond it the thrust budget
+        # (+-30% of hover) collapses vertically and the cascade breaks
+        a_lat = jnp.sqrt(a_x**2 + a_y**2) + 1e-9
+        scale = jnp.minimum(1.0, a_h_max / a_lat)
+        a_des = jnp.stack([a_x * scale, a_y * scale, a_z], axis=-1)
+
+        # --- thrust vector -> desired attitude (yaw = 0) ---
+        f_w = m * (a_des + jnp.array([0.0, 0.0, g]))      # required world force
+        T_des = jnp.linalg.norm(f_w, axis=-1)
+        z_b = f_w / jnp.maximum(T_des[..., None], 1e-6)
+        x_c = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), z_b.shape)
+        y_b = jnp.cross(z_b, x_c)
+        y_b = y_b / jnp.maximum(jnp.linalg.norm(y_b, axis=-1, keepdims=True), 1e-6)
+        x_b = jnp.cross(y_b, z_b)
+        R_des = jnp.stack([x_b, y_b, z_b], axis=-1)       # columns
+
+        # --- geometric attitude PD ---
+        M = jnp.swapaxes(R_des, -1, -2) @ R - jnp.swapaxes(R, -1, -2) @ R_des
+        e_R = 0.5 * jnp.stack([M[..., 2, 1], M[..., 0, 2], M[..., 1, 0]], axis=-1)
+        Jw = w @ J.T
+        tau = (-100.0 * e_R - 20.0 * w) @ J.T + jnp.cross(w, Jw)
+
+        # --- motor mixing; thrust along CURRENT body z: project the
+        # desired force onto it (standard geometric control) ---
+        T_body = jnp.maximum(jnp.sum(f_w * R[..., :, 2], axis=-1), 0.1)
+        wrench = jnp.concatenate([T_body[..., None], tau], axis=-1)
+        f_motor = wrench @ mix_inv.T                      # per-motor thrust
+        u = f_motor / (kf * act_scale) - u_hover
+        u = u + noise_std * jax.random.normal(key, u.shape)
+        return jnp.clip(u, u_lo, u_hi), near
+
+    rng = jax.random.PRNGKey(seed)
+    rng, r0, r1, r2 = jax.random.split(rng, 4)
+    x0 = env.reset(r0, n_episodes)
+    # catch-phase coverage (as in the pendulum teacher): a third of the
+    # episodes start with the pole near upright at moderate position
+    # offsets — dense capture/stabilize data, the regime a T=5
+    # receding-horizon policy actually operates in
+    n_catch = n_episodes // 3
+    if n_catch > 0:
+        xc = jnp.zeros((n_catch, 14))
+        xc = xc.at[:, :3].set(jax.random.uniform(r1, (n_catch, 3),
+                                                 minval=-3.0, maxval=3.0))
+        th0 = jnp.pi + jax.random.uniform(r2, (n_catch,), minval=-0.5, maxval=0.5)
+        xc = xc.at[:, 6].set(th0)
+        x0 = x0.at[:n_catch].set(xc)
+
+    @jax.jit
+    def rollout(x0, key):
+        def body(carry, k):
+            x, mode = carry
+            u, mode = expert_u(x, mode, k)
+            x_next = env.dynamics(x, u)                   # unwrapped shadow state
+            return (x_next, mode), (env.state_clip(x), u)
+
+        keys = jax.random.split(key, ep_len)
+        mode0 = jnp.zeros(x0.shape[0], bool)
+        (_, _), (xs, us) = jax.lax.scan(body, (x0, mode0), keys)
+        return xs, us
+
+    xs, us = rollout(x0, rng)
+    states = np.moveaxis(np.asarray(xs), 0, 1)
+    actions = np.moveaxis(np.asarray(us), 0, 1)
+    ok = (np.isfinite(states).all(axis=(1, 2))
+          & np.isfinite(actions).all(axis=(1, 2)))
+    # keep only episodes the teacher itself solved — a failed swing-up
+    # is corrupt supervision, not coverage
+    ang_f = np.abs(np.mod(states[:, -1, 6] - np.pi + np.pi, 2 * np.pi) - np.pi)
+    pos_f = np.linalg.norm(states[:, -1, :3], axis=-1)
+    ok &= (ang_f < 0.4) & (pos_f < 2.5)
+    return [
+        [(states[b, t], actions[b, t]) for t in range(ep_len)]
+        for b in np.nonzero(ok)[0]
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", type=str, default="pendulum")
@@ -209,6 +373,10 @@ def main():
         episodes = generate_pendulum_energy_expert(
             env, n_episodes=args.episodes, ep_len=args.ep_len, seed=args.seed,
             noise_std=args.noise_std,
+        )
+    elif "FlyingCartpole" in args.env:
+        episodes = generate_flying_cartpole_expert(
+            env, n_episodes=args.episodes, ep_len=args.ep_len, seed=args.seed,
         )
     else:
         episodes = generate_mpc_expert(
