@@ -9,6 +9,10 @@ collect the states it actually visits (including its mistakes), and
 generate expert demonstrations restarting from those states. Appending
 these to the dataset and retraining is one DAgger round.
 
+Supports every env with a teacher in `expert_gen`: the energy-shaping
+pendulum law, the FlyingCartpole cascade, and the AL-MPC teacher for
+cartpole / quadrotor (all accept explicit start states).
+
 Usage:
     python -m deqmpc_tpu.data.dagger --env pendulum --ckpt pendulum_r5 \
         --episodes 256 --policy_out_type 1
@@ -23,6 +27,9 @@ import numpy as np
 
 from ..envs import make_env
 from .datagen import expert_data_path
+from .expert_gen import (generate_flying_cartpole_expert,
+                         generate_mpc_expert,
+                         generate_pendulum_energy_expert)
 
 
 def collect_policy_states(args, env, policy, params, n_episodes: int = 64,
@@ -46,71 +53,47 @@ def collect_policy_states(args, env, policy, params, n_episodes: int = 64,
         if t % subsample == 0:
             visited.append(np.asarray(x))
     out = np.concatenate(visited, axis=0)
-    return out[np.isfinite(out).all(axis=-1)]
+    out = out[np.isfinite(out).all(axis=-1)]
+    # drop states that have already escaped any recoverable envelope —
+    # the teacher can't fix those and they poison the dataset
+    d = np.linalg.norm(out - np.asarray(env.targ_pos), axis=-1)
+    return out[d < 4.0 * float(np.linalg.norm(env.x_window))] \
+        if hasattr(env, "x_window") else out
 
 
-def pendulum_expert_fn(env, noise_std: float = 0.1):
-    """The energy-shaping teacher as a state-feedback law
-    (`expert_gen.generate_pendulum_energy_expert`)."""
-    m, l, g = env.m, env.l, env.g
-    E_des = 2 * m * g * l
-    u_max = float(env.max_torque)
-
-    def expert_u(x, key):
-        th, thd = x[..., 0], x[..., 1]
-        E = 0.5 * m * l**2 * thd**2 + m * g * l * (1 - jnp.cos(th))
-        err = jnp.mod(th - jnp.pi + jnp.pi, 2 * jnp.pi) - jnp.pi
-        near = jnp.logical_and(jnp.abs(err) < 0.15, jnp.abs(thd) < 2.5)
-        up = 1.0 * (E_des - E) * jnp.sign(
-            jnp.where(jnp.abs(thd) < 1e-3, 1.0, thd))
-        upd = -30.0 * err - 6.0 * thd
-        u = jnp.where(near, upd, up)
-        u = u + noise_std * jax.random.normal(key, u.shape)
-        return jnp.clip(u, -u_max, u_max)[..., None]
-
-    return expert_u
-
-
-def expert_rollouts_from(env, expert_fn, starts: np.ndarray,
-                         ep_len: int = 100, seed: int = 0):
-    """Expert demonstrations restarting from the given states; returns
-    episodes in the pickle format (list of (state, action) lists)."""
-    x0 = jnp.asarray(starts, jnp.float32)
-    bsz = x0.shape[0]
-
-    @jax.jit
-    def rollout(x0, key):
-        def body(x, k):
-            u = expert_fn(x, k)
-            x_next, _ = env.step(x, u)
-            return x_next, (x, u)
-
-        keys = jax.random.split(key, ep_len)
-        _, (xs, us) = jax.lax.scan(body, x0, keys)
-        return xs, us
-
-    xs, us = rollout(x0, jax.random.PRNGKey(seed))
-    states = np.moveaxis(np.asarray(xs), 0, 1)
-    actions = np.moveaxis(np.asarray(us), 0, 1)
-    ok = (np.isfinite(states).all(axis=(1, 2))
-          & np.isfinite(actions).all(axis=(1, 2)))
-    return [
-        [(states[b, t], actions[b, t]) for t in range(ep_len)]
-        for b in np.nonzero(ok)[0]
-    ]
+def corrective_episodes(args, env, starts: np.ndarray, ep_len: int,
+                        noise_std: float, seed: int = 0):
+    """Expert demonstrations restarting from the given states, using
+    the same teacher family `expert_gen` uses for the env."""
+    if args.env.startswith("pendulum") and not args.env.endswith("stabilize"):
+        return generate_pendulum_energy_expert(
+            env, n_episodes=len(starts), ep_len=ep_len, seed=seed,
+            noise_std=noise_std, x0=starts)
+    if "FlyingCartpole" in args.env:
+        return generate_flying_cartpole_expert(
+            env, n_episodes=len(starts), ep_len=ep_len, seed=seed,
+            x0=starts)
+    return generate_mpc_expert(
+        env, n_episodes=len(starts), ep_len=ep_len, seed=seed,
+        horizon=args.dagger_horizon, al_iters=args.al_iters,
+        noise_std=noise_std, env_name=args.env, x0=starts)
 
 
 def main(argv=None):
     import argparse
+    import os
 
     from ..training.train import (apply_model_type_presets, build_argparser,
                                   build_policy, load_checkpoint)
 
     p = build_argparser()
     p.add_argument("--dagger_episodes", type=int, default=256,
-                   help="number of policy rollout episodes to mine")
+                   help="number of corrective expert rollouts")
     p.add_argument("--dagger_ep_len", type=int, default=100,
                    help="length of each corrective expert rollout")
+    p.add_argument("--dagger_horizon", type=int, default=30,
+                   help="MPC-teacher horizon (cartpole/quadrotor)")
+    p.add_argument("--al_iters", type=int, default=8)
     p.add_argument("--dagger_noise_std", type=float, default=0.1)
     args = p.parse_args(argv)
     args = apply_model_type_presets(args)
@@ -120,23 +103,18 @@ def main(argv=None):
         args.nq = env.nq if env.nq <= env.nx // 2 else env.nx // 2
     policy = build_policy(args, env)
     params = policy.init(jax.random.PRNGKey(args.seed))
-    import os
     params, _, _, _ = load_checkpoint(
         os.path.join(args.models_dir, args.ckpt), params)
 
     states = collect_policy_states(
         args, env, policy, params, n_episodes=64, seed=args.seed)
-    # subsample the start pool to the requested number of episodes
     rng = np.random.default_rng(args.seed)
     idx = rng.choice(len(states), size=min(args.dagger_episodes, len(states)),
                      replace=False)
-    if not args.env.startswith("pendulum"):
-        raise NotImplementedError(
-            "corrective teacher currently wired for pendulum; other envs "
-            "use the MPC teacher in expert_gen")
-    expert_fn = pendulum_expert_fn(env, args.dagger_noise_std)
-    new_eps = expert_rollouts_from(env, expert_fn, states[idx],
-                                   ep_len=args.dagger_ep_len, seed=args.seed)
+    new_eps = corrective_episodes(args, env, states[idx],
+                                  ep_len=args.dagger_ep_len,
+                                  noise_std=args.dagger_noise_std,
+                                  seed=args.seed)
 
     path = expert_data_path(env.spec_id, args.teacher)
     with open(path, "rb") as f:

@@ -30,7 +30,7 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
                         horizon: int = 30, seed: int = 0,
                         al_iters: int = 8, rho_init_max: float = 1e4,
                         noise_std: float = 0.0, env_name: str = None,
-                        dtype=jnp.float32):
+                        x0=None, dtype=jnp.float32):
     """Closed-loop batched MPC rollouts. Returns a list of episodes,
     each a list of (state, action) tuples (reference pickle format).
 
@@ -53,7 +53,7 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     this, a pole at theta=6.27 looks a full revolution away from
     theta=0 and the "expert" swings it all the way around.
     """
-    bsz = n_episodes
+    bsz = n_episodes if x0 is None else len(x0)
     tracking = TrackingMPC(env, horizon, al_iter=al_iters, dtype=dtype,
                            max_newton_steps=8, rho_max=1e8)
     targ = jnp.asarray(env.targ_pos, jnp.float32)
@@ -101,7 +101,11 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
 
     rng = jax.random.PRNGKey(seed)
     rng, kr = jax.random.split(rng)
-    x0 = env.reset(rng, bsz)
+    if x0 is None:
+        x0 = env.reset(rng, bsz)
+    else:
+        x0 = jnp.asarray(x0, jnp.float32)
+        bsz = x0.shape[0]
     xs, us = rollout(x0, tracking.init_state(bsz), kr)
     states = np.moveaxis(np.asarray(xs), 0, 1)   # (bsz, ep_len, nx)
     actions = np.moveaxis(np.asarray(us), 0, 1)
@@ -119,7 +123,7 @@ def generate_pendulum_energy_expert(env, n_episodes: int = 256,
                                     ep_len: int = 200, seed: int = 0,
                                     k_e: float = 1.0, k_p: float = 30.0,
                                     k_d: float = 6.0,
-                                    noise_std: float = 0.05):
+                                    noise_std: float = 0.05, x0=None):
     """Energy-shaping swing-up + PD capture for the torque-limited
     pendulum (theta = 0 down, target pi up). The short-horizon MPC
     expert gets stuck in the hanging local minimum (the reference used
@@ -149,17 +153,20 @@ def generate_pendulum_energy_expert(env, n_episodes: int = 256,
 
     rng = jax.random.PRNGKey(seed)
     rng, r0, r1, r2 = jax.random.split(rng, 4)
-    x0 = env.reset(r0, n_episodes)
-    # catch-phase coverage: the PD-stabilizable basin at the top is
-    # tiny (u_max=2 vs mgl=10 -> |err| < ~0.2), and the swing-up
-    # transient passes through it for only a few steps per episode.
-    # Start a third of the episodes near the top so the policy sees
-    # dense catch/recover behavior.
-    n_catch = n_episodes // 3
-    if n_catch > 0:
-        th0 = jnp.pi + jax.random.uniform(r1, (n_catch,), minval=-0.9, maxval=0.9)
-        thd0 = jax.random.uniform(r2, (n_catch,), minval=-2.5, maxval=2.5)
-        x0 = x0.at[:n_catch].set(jnp.stack([th0, thd0], axis=-1))
+    if x0 is None:
+        x0 = env.reset(r0, n_episodes)
+        # catch-phase coverage: the PD-stabilizable basin at the top is
+        # tiny (u_max=2 vs mgl=10 -> |err| < ~0.2), and the swing-up
+        # transient passes through it for only a few steps per episode.
+        # Start a third of the episodes near the top so the policy sees
+        # dense catch/recover behavior.
+        n_catch = n_episodes // 3
+        if n_catch > 0:
+            th0 = jnp.pi + jax.random.uniform(r1, (n_catch,), minval=-0.9, maxval=0.9)
+            thd0 = jax.random.uniform(r2, (n_catch,), minval=-2.5, maxval=2.5)
+            x0 = x0.at[:n_catch].set(jnp.stack([th0, thd0], axis=-1))
+    else:
+        x0 = jnp.asarray(x0, jnp.float32)
 
     @jax.jit
     def rollout(x0, key):
@@ -177,14 +184,14 @@ def generate_pendulum_energy_expert(env, n_episodes: int = 256,
     actions = np.moveaxis(np.asarray(us), 0, 1)
     episodes = [
         [(states[b, t], actions[b, t]) for t in range(ep_len)]
-        for b in range(n_episodes)
+        for b in range(states.shape[0])
     ]
     return episodes
 
 
 def generate_flying_cartpole_expert(env, n_episodes: int = 256,
                                     ep_len: int = 240, seed: int = 0,
-                                    noise_std: float = 0.005):
+                                    noise_std: float = 0.005, x0=None):
     """Cascade analytic teacher for the flying cartpole: pole
     energy-shaping -> desired world acceleration -> geometric attitude
     control -> motor mixing.
@@ -303,19 +310,22 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
 
     rng = jax.random.PRNGKey(seed)
     rng, r0, r1, r2 = jax.random.split(rng, 4)
-    x0 = env.reset(r0, n_episodes)
-    # catch-phase coverage (as in the pendulum teacher): a third of the
-    # episodes start with the pole near upright at moderate position
-    # offsets — dense capture/stabilize data, the regime a T=5
-    # receding-horizon policy actually operates in
-    n_catch = n_episodes // 3
-    if n_catch > 0:
-        xc = jnp.zeros((n_catch, 14))
-        xc = xc.at[:, :3].set(jax.random.uniform(r1, (n_catch, 3),
-                                                 minval=-3.0, maxval=3.0))
-        th0 = jnp.pi + jax.random.uniform(r2, (n_catch,), minval=-0.5, maxval=0.5)
-        xc = xc.at[:, 6].set(th0)
-        x0 = x0.at[:n_catch].set(xc)
+    if x0 is None:
+        x0 = env.reset(r0, n_episodes)
+        # catch-phase coverage (as in the pendulum teacher): a third of
+        # the episodes start with the pole near upright at moderate
+        # position offsets — dense capture/stabilize data, the regime a
+        # T=5 receding-horizon policy actually operates in
+        n_catch = n_episodes // 3
+        if n_catch > 0:
+            xc = jnp.zeros((n_catch, 14))
+            xc = xc.at[:, :3].set(jax.random.uniform(r1, (n_catch, 3),
+                                                     minval=-3.0, maxval=3.0))
+            th0 = jnp.pi + jax.random.uniform(r2, (n_catch,), minval=-0.5, maxval=0.5)
+            xc = xc.at[:, 6].set(th0)
+            x0 = x0.at[:n_catch].set(xc)
+    else:
+        x0 = jnp.asarray(x0, jnp.float32)
 
     @jax.jit
     def rollout(x0, key):
