@@ -45,11 +45,12 @@ def collect_policy_states(args, env, policy, params, n_episodes: int = 64,
                                lastqp_solve=args.lastqp_solve)
         return po["trajs"][-1][2][:, 0]
 
+    env_step = jax.jit(env.step)  # see eval.py: eager dispatch is ~30x slower
     x = env.reset(jax.random.PRNGKey(seed), n_episodes)
     visited = []
     for t in range(ep_len):
         u0 = cold(params, x)
-        x, _ = env.step(x, u0)
+        x, _ = env_step(x, u0)
         if t % subsample == 0:
             visited.append(np.asarray(x))
     out = np.concatenate(visited, axis=0)

@@ -53,6 +53,11 @@ def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
         _, opt_states, actions = policy_out["trajs"][-1]
         return actions[:, 0], carry
 
+    # jit the env transition: dispatched eagerly, the quadrotor RK4 is
+    # hundreds of sub-ms ops that each pay the device-tunnel RPC
+    # (~0.6 ms) — 30x slower eval, measured
+    env_step = jax.jit(env.step)
+
     rewards = []
     xs = []
     carry = None
@@ -61,7 +66,7 @@ def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
             u0, carry = first_step(params, x)
         else:
             u0, carry = warm_step(params, x, carry)
-        x, r = env.step(x, u0)
+        x, r = env_step(x, u0)
         rewards.append(np.asarray(r))
         xs.append(np.asarray(x))
     xs = np.stack(xs, axis=1)          # (bsz, ep_len, nx)
