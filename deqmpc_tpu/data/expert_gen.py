@@ -104,7 +104,7 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     if x0 is None:
         x0 = env.reset(rng, bsz)
     else:
-        x0 = jnp.asarray(x0, jnp.float32)
+        x0 = jnp.asarray(x0, jnp.result_type(float))
         bsz = x0.shape[0]
     xs, us = rollout(x0, tracking.init_state(bsz), kr)
     states = np.moveaxis(np.asarray(xs), 0, 1)   # (bsz, ep_len, nx)
@@ -166,7 +166,7 @@ def generate_pendulum_energy_expert(env, n_episodes: int = 256,
             thd0 = jax.random.uniform(r2, (n_catch,), minval=-2.5, maxval=2.5)
             x0 = x0.at[:n_catch].set(jnp.stack([th0, thd0], axis=-1))
     else:
-        x0 = jnp.asarray(x0, jnp.float32)
+        x0 = jnp.asarray(x0, jnp.result_type(float))
 
     @jax.jit
     def rollout(x0, key):
@@ -325,7 +325,7 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
             xc = xc.at[:, 6].set(th0)
             x0 = x0.at[:n_catch].set(xc)
     else:
-        x0 = jnp.asarray(x0, jnp.float32)
+        x0 = jnp.asarray(x0, jnp.result_type(float))
 
     @jax.jit
     def rollout(x0, key):
