@@ -146,6 +146,16 @@ def make_newton_al(cfg: NewtonALConfig, dyn: Callable, dyn_jac: Callable,
         return xu_new, new_merit, stepsz
 
     def _forward(xu, x0, lam, rho, Q, q):
+        # TPU's default matmul precision is bfloat16: the Newton
+        # assembly -> factor -> solve -> line-search chain loses ~8
+        # mantissa bits per product and the solver silently fails on
+        # hard problems (measured: the cartpole T=60 teacher returns
+        # garbage at default precision, converges at highest). Scoped
+        # here so the DEQ network keeps the MXU-fast default.
+        with jax.default_matmul_precision("highest"):
+            return _forward_impl(xu, x0, lam, rho, Q, q)
+
+    def _forward_impl(xu, x0, lam, rho, Q, q):
         obs = obs_getter() if obs_getter is not None else None
         bsz = xu.shape[0]
         merit0 = _merit(xu, Q, q, x0, lam, rho, obs)
@@ -202,7 +212,8 @@ def make_newton_al(cfg: NewtonALConfig, dyn: Callable, dyn_jac: Callable,
     def newton_bwd(saved, cots):
         (D, O), x_out, xu, x0, lam, rho = saved
         g_out, _ = cots  # status cotangent ignored
-        dx = -_tridiag_solve(D, O, g_out)
+        with jax.default_matmul_precision("highest"):
+            dx = -_tridiag_solve(D, O, g_out)
         # scrub rare per-sample solver failures instead of poisoning the
         # whole batch gradient (the reference exposes a status mask and
         # NaN-grad trap instead, `al_utils.py:545-549`, `train.py:331`)

@@ -177,6 +177,18 @@ def qp_solve(Q, p, G, h, A, b, iters: int = 18,
     default factors the full dense KKT each iteration
     (`pdipm/batch_LU.py`). Both produce the same Newton steps.
     """
+    return _qp_solve_impl(Q, p, G, h, A, b, iters, prefactor)
+
+
+def _qp_solve_impl(Q, p, G, h, A, b, iters, prefactor):
+    # interior-point steps need true f32 products; TPU's default
+    # bfloat16 matmul precision silently degrades the KKT solves
+    # (see solvers/newton_al.py for the measured AL-side failure)
+    with jax.default_matmul_precision("highest"):
+        return _qp_solve_body(Q, p, G, h, A, b, iters, prefactor)
+
+
+def _qp_solve_body(Q, p, G, h, A, b, iters, prefactor):
     bsz, nz = p.shape
     ni = G.shape[1]
     ne = A.shape[1]
