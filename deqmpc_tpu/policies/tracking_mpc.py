@@ -30,7 +30,8 @@ class TrackingMPC:
                  dtype=jnp.float32, max_newton_steps: int = 4,
                  rho_max: float = 1e8, dyn_res_tol: float = 1e-3,
                  obstacles: Optional[ObstacleSet] = None, n_obs_sel: int = 4,
-                 solver_type: str = "al", qp_iter: int = 1):
+                 solver_type: str = "al", qp_iter: int = 1,
+                 tridiag_backend: str = "auto"):
         self.env = env
         self.nx, self.nu, self.T = env.nx, env.nu, T
         self.dtype = dtype
@@ -57,6 +58,7 @@ class TrackingMPC:
             max_newton_steps=max_newton_steps, rho_max=rho_max,
             dyn_res_tol=dyn_res_tol,
             obstacles=obstacles, n_obs_sel=n_obs_sel,
+            tridiag_backend=tridiag_backend,
         )
         if solver_type == "ip":
             # interior-point SQP alternative (`policies.py:1218-1234`)

@@ -78,7 +78,8 @@ class ALMPC:
                  obstacles: Optional[ObstacleSet] = None,
                  n_obs_sel: int = 4,
                  dtype=jnp.float32,
-                 chol_jitter: float = 0.0):
+                 chol_jitter: float = 0.0,
+                 tridiag_backend: str = "auto"):
         self.nx, self.nu, self.T = nx, nu, T
         self.n = nx + nu
         self.dtype = dtype
@@ -105,6 +106,7 @@ class ALMPC:
             nx=nx, nu=nu, T=T, max_newton_steps=max_newton_steps,
             dyn_res_tol=dyn_res_tol,
             state_estimator=state_estimator, chol_jitter=chol_jitter,
+            tridiag_backend=tridiag_backend,
         )
         obs_getter = (lambda: self._obs_current) if obstacles is not None else None
         self._newton = make_newton_al(
