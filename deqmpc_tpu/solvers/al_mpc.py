@@ -244,11 +244,17 @@ class ALMPC:
             # cap the penalty (the reference relies on f64 headroom and
             # only exits on rho_max in streaming, `AL_mpc.py:412`; in f32
             # an uncapped rho overflows the merit)
-            rho_next = jnp.minimum(rho * 10.0, self.rho_max)
+            rho_uncapped = rho * 10.0
+            rho_next = jnp.minimum(rho_uncapped, self.rho_max)
             if streaming:
                 lam = jnp.where(stopped, lam, lam_next)
                 rho = jnp.where(stopped, rho, rho_next)
-                stopped = jnp.logical_or(stopped, jnp.max(rho) > self.rho_max)
+                # the exit compares the *uncapped* update (`AL_mpc.py:412`
+                # breaks once rho*10 exceeds rho_max); comparing the
+                # capped rho would never trigger
+                stopped = jnp.logical_or(
+                    stopped, jnp.max(rho_uncapped) > self.rho_max
+                )
             else:
                 lam, rho = lam_next, rho_next
             hist_cost.append(compute_cost(xu_sg, Q, q))
