@@ -191,7 +191,14 @@ def generate_pendulum_energy_expert(env, n_episodes: int = 256,
 
 def generate_flying_cartpole_expert(env, n_episodes: int = 256,
                                     ep_len: int = 240, seed: int = 0,
-                                    noise_std: float = 0.005, x0=None):
+                                    noise_std: float = 0.005, x0=None,
+                                    capture_kp: float = 16.0,
+                                    capture_kd: float = 2.0,
+                                    pos_kp: float = 0.7,
+                                    pos_kv: float = 2.0,
+                                    lean_max: float = 0.30,
+                                    lead: float = 0.22,
+                                    success_filter: bool = True):
     """Cascade analytic teacher for the flying cartpole: pole
     energy-shaping -> desired world acceleration -> geometric attitude
     control -> motor mixing.
@@ -254,7 +261,7 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
         pump_dir = thd * jnp.cos(th)
         pump_dir = jnp.where(jnp.abs(pump_dir) < 1e-3, 1.0, jnp.sign(pump_dir))
         ax_pump = jnp.clip(1.5 * jnp.abs(1.005 * E_star - E), 0.3, 3.0) * pump_dir
-        ax_pump = ax_pump + jnp.clip(-0.1 * r[..., 0] - 0.5 * vel_w[..., 0], -1.0, 1.0)
+        ax_pump = ax_pump + jnp.clip(-0.45 * r[..., 0] - 1.1 * vel_w[..., 0], -1.8, 1.8)
         # capture: pole-dominant linear law (k_e must exceed g for the
         # upright linearization e_dd = (g e - a)/L; authority cap keeps
         # the basin tilt-feasible). Position feedback acts through a
@@ -262,14 +269,19 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
         # requires e = a/g at pole equilibrium (theta_dd = 0), so
         # commanding e_des = a_pos_des/g and feeding g*e_des forward
         # decelerates the quad while the pole stays balanced.
-        e_des = jnp.clip((-0.4 * r[..., 0] - 0.9 * vel_w[..., 0]) / g,
-                         -0.18, 0.18)
+        # gate position feedback by pole stability: chasing x while the
+        # pole still wobbles ejects it from the capture basin (measured:
+        # strong gains cut teacher survival 18/32 -> 11/32 ungated)
+        stab = jnp.exp(-((e_th / 0.25) ** 2) - (thd / 1.2) ** 2)
+        e_des = stab * jnp.clip(
+            (-pos_kp * r[..., 0] - pos_kv * vel_w[..., 0]) / g,
+            -lean_max, lean_max)
         # lead compensation: the attitude loop takes ~2 control steps
         # (0.1 s) to realize a demanded tilt, a long delay against the
         # pole's 0.23 s time constant — act on the PREDICTED error
-        e_lead = e_th + 0.12 * thd
+        e_lead = e_th + lead * thd
         ax_capture = jnp.clip(
-            13.0 * (e_lead - e_des) + 2.0 * thd + g * e_des,
+            capture_kp * (e_lead - e_des) + capture_kd * thd + g * e_des,
             -a_h_max, a_h_max)
         a_x = jnp.where(near, ax_capture, ax_pump)
 
@@ -349,7 +361,8 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
     # is corrupt supervision, not coverage
     ang_f = np.abs(np.mod(states[:, -1, 6] - np.pi + np.pi, 2 * np.pi) - np.pi)
     pos_f = np.linalg.norm(states[:, -1, :3], axis=-1)
-    ok &= (ang_f < 0.4) & (pos_f < 2.5)
+    if success_filter:
+        ok &= (ang_f < 0.4) & (pos_f < 2.5)
     return [
         [(states[b, t], actions[b, t]) for t in range(ep_len)]
         for b in np.nonzero(ok)[0]

@@ -70,7 +70,10 @@ def test_flying_cartpole_cascade_stabilizes_near_upright():
     S = _stack_states(eps)
     ang = np.abs(np.mod(S[:, -1, 6] - np.pi + np.pi, 2 * np.pi) - np.pi)
     assert (ang < 0.4).all()
-    assert (np.linalg.norm(S[:, -1, :3], axis=-1) < 2.5).all()
+    # capture-accuracy bar: the stability-gated position loop must
+    # bring the quad home, not just keep it bounded (the pre-gated
+    # teacher limit-cycled at |x| ~ 1)
+    assert np.linalg.norm(S[:, -1, :3], axis=-1).mean() < 0.5
 
 
 def test_flying_cartpole_cascade_swings_up_some():
