@@ -14,13 +14,16 @@ Usage:
     params = replicate(params, mesh)
     train_step = jax.jit(step, in_shardings=..., out_shardings=...)
 """
-from .mesh import (batch_sharding, make_mesh, replicate, replicated_sharding,
-                   shard_batch)
+from .mesh import (batch_sharding, initialize_multihost, make_mesh,
+                   replicate, replicated_sharding, shard_batch,
+                   shard_batch_local)
 
 __all__ = [
     "batch_sharding",
+    "initialize_multihost",
     "make_mesh",
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_local",
 ]

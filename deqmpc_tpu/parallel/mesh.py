@@ -51,3 +51,38 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
 def replicate(tree, mesh: Mesh):
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Join a multi-host run (PJRT over ICI/DCN). On TPU pods the
+    arguments auto-detect from the environment; returns the process
+    count. Call once, before any backend use / mesh construction."""
+    if jax.process_count() == 1 and (coordinator_address or num_processes):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+        )
+    elif jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run (CPU tests, one chip)
+    return jax.process_count()
+
+
+def shard_batch_local(batch, mesh: Mesh, axis_name: str = "data"):
+    """Multi-host batch feeding: each process passes its LOCAL shard of
+    the global batch (shape (global_bsz / process_count, ...)); returns
+    global arrays sharded along the batch axis. Single-process, this is
+    equivalent to `shard_batch`."""
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x
+        )
+
+    return jax.tree_util.tree_map(put, batch)

@@ -82,3 +82,17 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_shard_batch_local_single_process_equivalence(setup):
+    """Multi-host feeding path: single-process, the per-host local
+    shard IS the global batch, so shard_batch_local == shard_batch."""
+    from deqmpc_tpu.parallel import shard_batch_local
+
+    env, policy, params, batch = setup
+    mesh = make_mesh(8)
+    a = shard_batch(batch, mesh)
+    b = shard_batch_local(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
