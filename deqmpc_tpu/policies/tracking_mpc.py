@@ -31,7 +31,8 @@ class TrackingMPC:
                  rho_max: float = 1e8, dyn_res_tol: float = 1e-3,
                  obstacles: Optional[ObstacleSet] = None, n_obs_sel: int = 4,
                  solver_type: str = "al", qp_iter: int = 1,
-                 tridiag_backend: str = "auto"):
+                 tridiag_backend: str = "auto",
+                 aux_cost: Optional[Tuple] = None):
         self.env = env
         self.nx, self.nu, self.T = env.nx, env.nu, T
         self.dtype = dtype
@@ -41,6 +42,18 @@ class TrackingMPC:
             # MHE flavor: cost only on states (`al_utils_se.py:16-41`)
             Q = np.concatenate([np.asarray(env.Qlqr), np.zeros(env.nu)])
         self.Q0 = jnp.asarray(Q, dtype)  # (n,) diagonal template
+        # Auxiliary additive cost hook (`policies.py:1148-1170`): a fixed
+        # diagonal quadratic pulling toward aux_x, gated per-sample by
+        # q_mask. The reference masks only the linear term at the call
+        # site (Q gets the unmasked aux_Q, `policies.py:1252-1259`);
+        # we reproduce that effective behavior.
+        if aux_cost is not None:
+            aux_Q_diag, aux_x = aux_cost
+            self.aux_Q = jnp.asarray(aux_Q_diag, dtype)
+            self.aux_p = -(self.aux_Q * jnp.asarray(aux_x, dtype))
+        else:
+            self.aux_Q = None
+            self.aux_p = None
 
         def dyn(x, u):
             return env.dynamics(x, u)
@@ -86,7 +99,7 @@ class TrackingMPC:
 
     def __call__(self, x0: Array, x_ref: Array, u_ref: Array, state: ALState,
                  q_scaling: Optional[Array] = None, al_iters: int = 2,
-                 streaming: bool = False):
+                 streaming: bool = False, q_mask: Optional[Array] = None):
         """Returns (nominal_states, nominal_actions, status, new_state),
         states/actions cast back to the network dtype (f32)."""
         bsz = x0.shape[0]
@@ -97,6 +110,11 @@ class TrackingMPC:
             # reference adds 1: Q * (q_scaling + 1) (`policies.py:1245-1248`)
             Q = Q * (q_scaling.astype(self.dtype) + 1.0)[:, :, None]
         p, f = self.compute_pf(xu_ref, Q)
+        if self.aux_Q is not None:
+            mask = (jnp.ones((bsz,), self.dtype) if q_mask is None
+                    else q_mask.astype(self.dtype))
+            p = p + self.aux_p * mask[:, None, None]
+            Q = Q + self.aux_Q
         cost = QuadCost(Q=Q, q=p, f=f)
         if self.solver_type == "ip":
             x, u = self.ip_ctrl.solve(x0, cost, x_init=x_ref, u_init=u_ref)

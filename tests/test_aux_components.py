@@ -82,3 +82,34 @@ def test_linearize_once_streaming():
     assert float(jnp.abs(x2[:, 1:] - lin_next).max()) < 5e-2
     defects = x2[:, 1:] - env.dynamics(x2[:, :-1], u2[:, :-1])
     assert float(jnp.abs(defects).max()) < 0.5
+
+
+def test_tracking_mpc_aux_cost():
+    """Aux-cost hook (`policies.py:1148-1170,1252-1259`): an additive
+    fixed quadratic pulls the solution toward aux_x; q_mask=0 removes
+    the linear pull (the reference masks only the linear term)."""
+    from deqmpc_tpu.policies.tracking_mpc import TrackingMPC
+
+    env = PendulumEnv()
+    bsz, T = 4, 5
+    n = env.nx + env.nu
+    aux_x = np.zeros(n)
+    aux_x[0] = 0.7
+    aux_Q = np.zeros(n)
+    aux_Q[0] = 50.0
+    base = TrackingMPC(env, T, dtype=jnp.float64)
+    aux = TrackingMPC(env, T, dtype=jnp.float64, aux_cost=(aux_Q, aux_x))
+
+    x0 = jnp.zeros((bsz, env.nx), jnp.float64).at[:, 0].set(0.1)
+    x_ref = jnp.zeros((bsz, T, env.nx))
+    u_ref = jnp.zeros((bsz, T, env.nu))
+    xb, _, _, _ = base(x0, x_ref, u_ref, base.init_state(bsz), al_iters=3)
+    xa, _, _, _ = aux(x0, x_ref, u_ref, aux.init_state(bsz), al_iters=3)
+    # the aux pull moves the mean angle toward 0.7 relative to base
+    assert float(xa[:, 1:, 0].mean()) > float(xb[:, 1:, 0].mean()) + 1e-4
+
+    # masked-out samples lose the linear pull (curvature term remains)
+    mask = jnp.zeros((bsz,))
+    xm, _, _, _ = aux(x0, x_ref, u_ref, aux.init_state(bsz), al_iters=3,
+                      q_mask=mask)
+    assert float(xm[:, 1:, 0].mean()) < float(xa[:, 1:, 0].mean()) - 1e-4
