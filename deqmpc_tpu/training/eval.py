@@ -18,6 +18,19 @@ import numpy as np
 from ..policies import compute_loss_deqmpc
 
 
+def final_state_errors(x_final: np.ndarray, targ: np.ndarray,
+                       env_name: str, nx: int) -> np.ndarray:
+    """Per-dim final-state error with angle dims wrapped to [-pi, pi],
+    so a swing-up finishing at 2pi-eps with target 0 counts as success
+    (states are wrapped into [0, 2pi), `my_envs/cartpole.py:90-92`)."""
+    from ..utils import angle_idxs_for_env
+
+    err = np.asarray(x_final) - np.asarray(targ)
+    for i in angle_idxs_for_env(env_name, nx) or ():
+        err[:, i] = np.mod(err[:, i] + np.pi, 2 * np.pi) - np.pi
+    return err
+
+
 def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
                 ep_len: int = None, seed: int = 0,
                 warm_start: bool = None) -> Dict[str, float]:
@@ -71,11 +84,12 @@ def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
         xs.append(np.asarray(x))
     xs = np.stack(xs, axis=1)          # (bsz, ep_len, nx)
     rewards = np.stack(rewards, axis=1)
-    targ = np.asarray(env.targ_pos)
-    final_dist = np.linalg.norm(xs[:, -1] - targ, axis=-1)
+    err = final_state_errors(xs[:, -1], np.asarray(env.targ_pos),
+                             getattr(args, "env", ""), env.nx)
+    final_dist = np.linalg.norm(err, axis=-1)
     # success: final state within 0.25 of the target (position part)
     nq = min(getattr(env, "nq", env.nx // 2), env.nx)
-    success = np.linalg.norm(xs[:, -1, :nq] - targ[:nq], axis=-1) < 0.25
+    success = np.linalg.norm(err[:, :nq], axis=-1) < 0.25
     return {
         "mean_reward": float(np.nanmean(rewards)),
         "final_dist_mean": float(np.nanmean(final_dist)),

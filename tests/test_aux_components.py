@@ -113,3 +113,19 @@ def test_tracking_mpc_aux_cost():
     xm, _, _, _ = aux(x0, x_ref, u_ref, aux.init_state(bsz), al_iters=3,
                       q_mask=mask)
     assert float(xm[:, 1:, 0].mean()) < float(xa[:, 1:, 0].mean()) - 1e-4
+
+
+def test_final_state_errors_angle_wrap():
+    """Angle dims compare on the circle: cartpole upright can be
+    reported as theta≈2pi under the [0,2pi) state wrap."""
+    from deqmpc_tpu.training.eval import final_state_errors
+
+    x_final = np.array([[0.0, 2 * np.pi - 0.01, 0.0, 0.0],
+                        [0.0, np.pi, 0.0, 0.0]])
+    targ = np.zeros(4)
+    err = final_state_errors(x_final, targ, "cartpole1link", 4)
+    assert abs(err[0, 1]) < 0.011          # wrapped: success-close
+    assert abs(abs(err[1, 1]) - np.pi) < 1e-9  # hanging down stays far
+    # non-angle env: plain difference
+    err2 = final_state_errors(x_final, targ, "rexquadrotor", 4)
+    assert abs(err2[0, 1] - (2 * np.pi - 0.01)) < 1e-9
