@@ -352,7 +352,9 @@ class DEQLayerHistoryState(DEQLayer):
         from ..solvers.fp import anderson
 
         shapes = (z[0].shape, z[1].shape)
-        n0 = int(jnp.prod(jnp.asarray(shapes[0][1:])))
+        n0 = 1
+        for d in shapes[0][1:]:
+            n0 *= int(d)
 
         def f_flat(zf):
             za = zf[:, :n0].reshape(shapes[0])

@@ -1,6 +1,7 @@
 """Policy layer: network + optimizer composition and losses (SURVEY.md §2.1)."""
 from .deqmpc_policy import DEQMPCPolicy, NNMPCPolicy, PolicyCarry, PolicyConfig
-from .losses import compute_cost_coeff, compute_loss_deqmpc
+from .losses import (compute_cost_coeff, compute_loss_deqmpc,
+                     compute_loss_deqmpc_hist)
 from .policy_variants import (DEQMPCPolicyFeedback, DEQMPCPolicyHistory,
                               DEQMPCPolicyHistoryEstPred, DEQMPCPolicyMem,
                               DEQMPCPolicyQ)
@@ -19,4 +20,5 @@ __all__ = [
     "DEQMPCPolicyQ",
     "compute_cost_coeff",
     "compute_loss_deqmpc",
+    "compute_loss_deqmpc_hist",
 ]

@@ -126,9 +126,10 @@ def compute_loss_deqmpc(policy, gt_states, gt_actions, gt_mask, policy_out,
     losses = jnp.stack(losses, axis=1)          # (bsz, n_iter)
     residuals = jnp.stack(residuals, axis=1)    # (bsz, n_iter[+1])
     # iteration/example weights: computed for logging, NOT applied
-    # (`policies.py:602-612`)
+    # (`policies.py:602-612` — the multiplications are commented out there)
     ex_weights = residuals.mean(axis=1, keepdims=True)
     ex_weights = ex_weights / (ex_weights.mean() + 1e-12)
+    iter_weights = _iter_weights(residuals, gt_mask)
     loss = losses.mean(axis=0).sum()
     loss_end, _ = compute_cost_coeff(
         nq, T, policy.out_type, policy.loss_type, gt_states, gt_actions,
@@ -142,9 +143,58 @@ def compute_loss_deqmpc(policy, gt_states, gt_actions, gt_mask, policy_out,
         "losses_iter": losses.mean(axis=0),
         "residuals": residuals[:, -1],
         "ex_weights": ex_weights,
+        "iter_weights": iter_weights,
     }
     if q_losses:
         out["losses_iter_q"] = jnp.stack(q_losses)
+    return out
+
+
+def _iter_weights(residuals: Array, gt_mask: Array) -> Array:
+    """Residual-ratio iteration weights (`policies.py:605-608`):
+    ``5**log(res_0 / (10*res_j))`` normalized per sample, forced uniform
+    for one-step windows. Diagnostic only — like the reference, never
+    multiplied into the loss."""
+    w = 5.0 ** jnp.log(residuals[:, :1] / (10.0 * residuals[:, :-1] + 1e-12))
+    one_step = (gt_mask.sum(axis=1) == 1)[:, None]
+    w = jnp.where(one_step, 1.0, w)
+    return w / (w.sum(axis=1, keepdims=True) + 1e-12)
+
+
+def compute_loss_deqmpc_hist(policy, gt_states, gt_actions, gt_obs, gt_mask,
+                             policy_out, coeffs: Optional[Array] = None,
+                             x_init: Optional[Array] = None) -> Dict[str, Array]:
+    """History/EstPred variant loss (`policies.py:624-691`): the base
+    DEQ-MPC loss plus per-iteration state-estimate losses against the
+    observation-history ground truth ``gt_obs`` (bsz, H, nx). The x_est
+    losses are *logged* per iteration (``losses_x_ests``) but, exactly
+    as in the reference (`policies.py:665` — commented out of the sum),
+    not added to the training total."""
+    out = compute_loss_deqmpc(policy, gt_states, gt_actions, gt_mask,
+                              policy_out, coeffs=coeffs, x_init=x_init)
+    x_ests = policy_out.get("nominal_x_ests")
+    if x_ests is None:
+        return out
+    nq = policy.nq
+    H = gt_obs.shape[1]
+    ones = jnp.ones(gt_mask.shape[:1] + (H,), gt_mask.dtype)
+    # zero action placeholder: out_type=1 losses touch states only and
+    # the reference passes `nominal_actions` purely positionally here
+    u0 = jnp.zeros(gt_obs.shape[:2] + (policy.nu,), gt_obs.dtype)
+    hist_losses, hist_nn_losses = [], []
+    for j, (x_est_pre, x_est_post) in enumerate(x_ests):
+        lh, _ = compute_cost_coeff(
+            nq, H, policy.out_type, policy.loss_type, gt_obs, u0, ones,
+            x_est_pre, u0, 1.0, 1.0, 1.0,
+        )
+        lhn, _ = compute_cost_coeff(
+            nq, H, policy.out_type, policy.loss_type, gt_obs, u0, ones,
+            x_est_post, u0, 1.0, 1.0, 1.0,
+        )
+        hist_losses.append(jnp.mean(lh))
+        hist_nn_losses.append(jnp.mean(lhn))
+    out["losses_x_ests"] = jnp.stack(hist_losses)
+    out["losses_x_ests_post"] = jnp.stack(hist_nn_losses)
     return out
 
 

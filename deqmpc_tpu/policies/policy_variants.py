@@ -90,6 +90,8 @@ class DEQMPCPolicyHistoryEstPred(DEQMPCPolicyHistory):
     state-estimator mode refines the estimated history every
     iteration (`policies.py:317-407`)."""
 
+    takes_action_history = True  # forward consumes u_hist (`u_gt_est`)
+
     def __init__(self, cfg: PolicyConfig, env, H: int = 1, obstacles=None):
         super().__init__(cfg, env, H=H, obstacles=obstacles)
         self.state_estimator = TrackingMPC(

@@ -26,7 +26,8 @@ def final_state_errors(x_final: np.ndarray, targ: np.ndarray,
     from ..utils import angle_idxs_for_env
 
     err = np.asarray(x_final) - np.asarray(targ)
-    for i in angle_idxs_for_env(env_name, nx) or ():
+    idxs = angle_idxs_for_env(env_name, nx)
+    for i in (idxs if idxs is not None else ()):
         err[:, i] = np.mod(err[:, i] + np.pi, 2 * np.pi) - np.pi
     return err
 

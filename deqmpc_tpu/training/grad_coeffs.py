@@ -22,12 +22,34 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _out_head_path(params):
-    """Locate the output-head kernel leaf (used as the probe surface,
-    reference `policies.py:712` `model.out_layer[0].weight`)."""
-    if "out" in params:
-        return ("out",)
-    raise KeyError("no output head in params")
+def _out_head_path(params, key="out"):
+    """Locate the output-head subtree (the probe surface, reference
+    `policies.py:712` `model.out_layer[0].weight`). Searches nested
+    dicts depth-first so variants that nest the head (e.g. inside a
+    flax params wrapper) still resolve; returns a key path tuple."""
+    if isinstance(params, dict):
+        if key in params:
+            return (key,)
+        for k, v in params.items():
+            sub = _out_head_path(v, key)
+            if sub is not None:
+                return (k,) + sub
+    return None
+
+
+def _get_at(params, path):
+    for k in path:
+        params = params[k]
+    return params
+
+
+def _set_at(params, path, value):
+    """Copy-on-write replacement of the subtree at `path`."""
+    if not path:
+        return value
+    p = dict(params)
+    p[path[0]] = _set_at(params[path[0]], path[1:], value)
+    return p
 
 
 def compute_grad_ratio_coeffs(policy, params, batch, qp_solve: bool = True,
@@ -41,18 +63,24 @@ def compute_grad_ratio_coeffs(policy, params, batch, qp_solve: bool = True,
     from ..policies.losses import compute_decomposed_losses
 
     head = _out_head_path(params)
+    if head is None:
+        raise KeyError("no output head in params")
+    obs = batch["obs"]
+    if not getattr(policy, "takes_history", False) and obs.ndim == 3:
+        obs = obs[:, -1]
+    fwd_extra = ((batch["obs_action"],)
+                 if getattr(policy, "takes_action_history", False) else ())
 
     def losses_of(p_head):
-        p = dict(params)
-        p[head[0]] = p_head
-        policy_out, _ = policy.forward(p, batch["obs"], qp_solve=qp_solve)
+        p = _set_at(params, head, p_head)
+        policy_out, _ = policy.forward(p, obs, *fwd_extra, qp_solve=qp_solve)
         lo, ln = compute_decomposed_losses(
             policy, batch["state"], batch["action"], batch["mask"], policy_out
         )
         return lo + policy.deq_reg * ln, (lo, ln)
 
     jac_fn = jax.jacrev(losses_of, has_aux=True)
-    jac, (lo, ln) = jac_fn(params[head[0]])
+    jac, (lo, ln) = jac_fn(_get_at(params, head))
     # jac: pytree with leading deq_iter axis per leaf; norm per iteration
     leaves = jax.tree_util.tree_leaves(jac)
     sq = sum(jnp.sum(l.reshape(l.shape[0], -1) ** 2, axis=1) for l in leaves)

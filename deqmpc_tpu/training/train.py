@@ -33,7 +33,8 @@ import optax
 from .. import utils
 from ..data import get_gt_data, merge_gt_data, sample_trajectory
 from ..envs import make_env
-from ..policies import DEQMPCPolicy, NNMPCPolicy, PolicyConfig, compute_loss_deqmpc
+from ..policies import (DEQMPCPolicy, NNMPCPolicy, PolicyConfig,
+                        compute_loss_deqmpc, compute_loss_deqmpc_hist)
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -209,15 +210,30 @@ def make_train_step(policy, optimizer, args):
             obs = batch["obs"]
         else:
             obs = batch["obs"][:, -1] if batch["obs"].ndim == 3 else batch["obs"]
-        policy_out, carry = policy.forward(
-            params, obs, qp_solve=qp_solve, lastqp_solve=lastqp_solve
-        )
-        d = compute_loss_deqmpc(
-            policy, batch["state"], batch["action"], batch["mask"],
-            policy_out, coeffs=coeffs, x_init=policy_out["init_states"],
-        )
+        if getattr(policy, "takes_action_history", False):
+            # EstPred: the estimator consumes the history-window actions
+            # (`u_gt_est`, reference `policies.py:329,373`)
+            policy_out, carry = policy.forward(
+                params, obs, batch["obs_action"], qp_solve=qp_solve,
+                lastqp_solve=lastqp_solve,
+            )
+            d = compute_loss_deqmpc_hist(
+                policy, batch["state"], batch["action"], batch["obs"],
+                batch["mask"], policy_out, coeffs=coeffs,
+                x_init=policy_out["init_states"],
+            )
+        else:
+            policy_out, carry = policy.forward(
+                params, obs, qp_solve=qp_solve, lastqp_solve=lastqp_solve
+            )
+            d = compute_loss_deqmpc(
+                policy, batch["state"], batch["action"], batch["mask"],
+                policy_out, coeffs=coeffs, x_init=policy_out["init_states"],
+            )
         aux = {k: d[k] for k in
                ("loss_end", "losses_iter", "losses_iter_opt", "losses_iter_nn")}
+        if "losses_x_ests" in d:
+            aux["losses_x_ests"] = d["losses_x_ests"]
         if "deq_stats" in policy_out:
             aux["deq_fwd_err"] = policy_out["deq_stats"]["fwd_err"]
             aux["deq_fwd_steps"] = policy_out["deq_stats"]["fwd_steps"]
@@ -360,6 +376,16 @@ def main(argv=None):
     args = apply_model_type_presets(args)
     np.random.seed(args.seed)
 
+    if args.dtype == "double":
+        # the reference solves in f64 (`AL_mpc.py:261-263`); without
+        # x64 enabled jnp.float64 silently downcasts to f32
+        jax.config.update("jax_enable_x64", True)
+        if jnp.zeros((), jnp.float64).dtype != jnp.dtype("float64"):
+            raise RuntimeError(
+                "--dtype double requires x64 support; the active backend "
+                "refused jax_enable_x64 (use the CPU backend for f64 runs)"
+            )
+
     # streaming schedule (`train.py:142-148`)
     args.str_al_iter = min(int(np.log10(1e10 / args.rho_init_max) / 2), args.deq_iter)
     total_deq_iter = args.deq_iter
@@ -482,8 +508,10 @@ def main(argv=None):
                     policy, params, batch, qp_solve=args.qp_solve
                 )
                 coeffs = update_coeffs_ema(coeffs, ratios)
-            except KeyError:
-                pass  # model without a plain output head
+            except KeyError as e:
+                print(f"[{i}] --grad_coeff disabled: no output head found "
+                      f"in the params tree ({e})")
+                args.grad_coeff = False
         if i % args.val_every == 0:
             val_loss = validate_policy(policy, loss_fn, params, val_samples, coeffs)
             scalars = {
@@ -498,6 +526,10 @@ def main(argv=None):
                 scalars[f"losses/loss{k}"] = float(aux["losses_iter"][k])
                 scalars[f"losses_opt/loss_opt{k}"] = float(aux["losses_iter_opt"][k])
                 scalars[f"losses_nn/loss_nn{k}"] = float(aux["losses_iter_nn"][k])
+            if "losses_x_ests" in aux:
+                for k in range(args.deq_iter):
+                    scalars[f"losses_x_ests/loss_x_est{k}"] = float(
+                        aux["losses_x_ests"][k])
             if "deq_fwd_err" in aux:
                 for k in range(args.deq_iter):
                     scalars[f"deq_stats/fwd_err{k}"] = float(aux["deq_fwd_err"][k])

@@ -129,3 +129,24 @@ def test_final_state_errors_angle_wrap():
     # non-angle env: plain difference
     err2 = final_state_errors(x_final, targ, "rexquadrotor", 4)
     assert abs(err2[0, 1] - (2 * np.pi - 0.01)) < 1e-9
+
+
+def test_final_state_errors_angle_wrap_pendulum():
+    """Pendulum's angle-index array is np.array([0]) — falsy under
+    boolean coercion (regression: the wrap was silently skipped)."""
+    from deqmpc_tpu.training.eval import final_state_errors
+
+    x_final = np.array([[2 * np.pi - 0.02, 0.0]])
+    err = final_state_errors(x_final, np.zeros(2), "pendulum", 2)
+    assert abs(err[0, 0]) < 0.021
+
+
+def test_final_state_errors_angle_wrap_cartpole2link():
+    """Two-angle env: multi-element index array must not be coerced to
+    bool (regression: raised ValueError)."""
+    from deqmpc_tpu.training.eval import final_state_errors
+
+    x_final = np.array([[0.0, 2 * np.pi - 0.01, 0.02, 0.0, 0.0, 0.0]])
+    err = final_state_errors(x_final, np.zeros(6), "cartpole2link", 6)
+    assert abs(err[0, 1]) < 0.011
+    assert abs(err[0, 2] - 0.02) < 1e-9

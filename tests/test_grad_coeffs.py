@@ -31,3 +31,50 @@ def test_grad_ratios_shape_and_positive():
     c2 = update_coeffs_ema(coeffs, ratios)
     assert c2.shape == (3, 3)
     assert bool(jnp.all(jnp.isfinite(c2)))
+
+
+def test_out_head_path_nested():
+    """The head lookup must find `out` anywhere in a nested params
+    tree, and _set_at must splice copy-on-write."""
+    from deqmpc_tpu.training.grad_coeffs import (_get_at, _out_head_path,
+                                                 _set_at)
+
+    params = {"model": {"cell": {"w": 1}, "out": {"kernel": 2}}}
+    path = _out_head_path(params)
+    assert path == ("model", "out")
+    assert _get_at(params, path) == {"kernel": 2}
+    p2 = _set_at(params, path, {"kernel": 7})
+    assert p2["model"]["out"] == {"kernel": 7}
+    assert params["model"]["out"] == {"kernel": 2}  # original untouched
+    assert _out_head_path({"a": {"b": 1}}) is None
+
+
+def _variant_batch(env, bsz=4, T=4, H=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "obs": jnp.asarray(rng.uniform(-1, 1, (bsz, H, env.nx)), jnp.float32),
+        "obs_action": jnp.asarray(rng.normal(size=(bsz, H, env.nu)), jnp.float32),
+        "state": jnp.asarray(rng.normal(size=(bsz, T, env.nx)), jnp.float32),
+        "action": jnp.asarray(rng.normal(size=(bsz, T, env.nu)), jnp.float32),
+        "mask": jnp.ones((bsz, T), jnp.float32),
+    }
+
+
+def test_grad_ratios_mem_and_history_variants():
+    """--grad_coeff must work for variants, not just the base policy
+    (it used to silently degrade to a no-op)."""
+    from deqmpc_tpu.policies.policy_variants import (DEQMPCPolicyHistory,
+                                                     DEQMPCPolicyMem)
+
+    env = PendulumEnv()
+    cfg = PolicyConfig(nx=2, nu=1, nq=1, T=4, dt=env.dt, bsz=4, hdim=16,
+                       layer_type="mlp", deq_iter=2, fp_max_steps=4,
+                       solver_dtype=jnp.float64)
+    batch = _variant_batch(env)
+    for policy in (DEQMPCPolicyMem(cfg, env),
+                   DEQMPCPolicyHistory(cfg, env, H=3)):
+        params = policy.init(jax.random.PRNGKey(0))
+        ratios, _, _ = compute_grad_ratio_coeffs(policy, params, batch)
+        assert ratios.shape == (2,)
+        assert bool(jnp.all(jnp.isfinite(ratios)))
+        assert bool(jnp.all(ratios > 0))
