@@ -1,11 +1,23 @@
-"""Headline benchmark: batched AL trajectory-solve throughput.
+"""Headline benchmark: solver throughput + full DEQ-MPC step costs.
 
-Measures end-to-end solves/s of the augmented-Lagrangian MPC on the
-RexQuadrotor config (T=5, al_iter=2 — BASELINE.md config #4, the
-hardest per-sample KKT blocks: 16x16) at batch 1024 in f32 on one
-chip. Prints ONE JSON line; vs_baseline is relative to the
-BASELINE.json north-star target of 10,000 solves/s on a v5e chip
-(the reference publishes no numbers — BASELINE.md).
+Four measurements on one chip (f32):
+- `rexquad_al_solve_throughput` (headline `value`): batched AL
+  trajectory solves/s, RexQuadrotor T=5 al_iter=2 at bsz 1024
+  (BASELINE.md config #4 — the hardest per-sample KKT blocks, 16x16).
+  `vs_baseline` is relative to the BASELINE.json north-star target of
+  10,000 solves/s on a v5e chip (the reference publishes no numbers).
+- `deqmpc_fwd_ms` / `deqmpc_fwd_throughput`: the full DEQ-MPC policy
+  forward (deq_iter=6 x {network -> AL solve}, hdim=256) — the
+  quantity a user of the reference's `policy.forward` pays
+  (`deqmpc/policies.py:107-203`).
+- `train_step_ms`: one jitted train step (forward + per-iteration loss
+  + implicit backward + Adam) on the rexquad config at bsz 128,
+  matching the reference's measurement intent (`train.py:355-376`).
+- `streaming_warm_ms` / `realtime_margin`: per-tick latency of the
+  warm-started receding-horizon forward at control batch 1 vs the
+  env control period (BASELINE config #5, `qpth/AL_mpc.py:342-423`).
+
+Prints ONE JSON line.
 """
 import json
 import time
@@ -15,14 +27,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _time(fn, *args, n_warmup=2, n_rep=20):
+    out = None
+    for _ in range(n_warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_rep, out
+
+
 def main():
     from deqmpc_tpu.envs import RexQuadrotor
+    from deqmpc_tpu.policies import (DEQMPCPolicy, PolicyConfig,
+                                     compute_loss_deqmpc)
     from deqmpc_tpu.policies.tracking_mpc import TrackingMPC
 
     env = RexQuadrotor()
-    bsz, T = 1024, 5
-    tracking = TrackingMPC(env, T, al_iter=2, dtype=jnp.float32, rho_max=1e5)
+    T = 5
     rng = np.random.default_rng(0)
+
+    # --- 1. bare solver throughput (headline) ----------------------------
+    bsz = 1024
+    tracking = TrackingMPC(env, T, al_iter=2, dtype=jnp.float32, rho_max=1e5)
     x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (bsz, env.nx)), jnp.float32)
     x_ref = jnp.broadcast_to(
         jnp.asarray(env.targ_pos, jnp.float32), (bsz, T, env.nx)
@@ -35,18 +64,80 @@ def main():
         xs, us, status, _ = tracking(x0, x_ref, u_ref, st, al_iters=2)
         return xs, us
 
-    xs, us = solve(x0)  # compile
-    jax.block_until_ready(xs)
-    # sanity: finite output
+    dt_solve, (xs, us) = _time(solve, x0)
     assert bool(jnp.all(jnp.isfinite(us))), "non-finite solver output"
+    solves_per_s = bsz / dt_solve
 
-    n_rep = 20
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        xs, us = solve(x0)
-    jax.block_until_ready(xs)
-    dt = (time.perf_counter() - t0) / n_rep
-    solves_per_s = bsz / dt
+    # --- 2/3. full DEQ-MPC forward + train step (config #4) --------------
+    import optax
+
+    fb = 128
+    cfg = PolicyConfig(
+        nx=env.nx, nu=env.nu, nq=env.nx // 2, T=T, dt=env.dt, bsz=fb,
+        hdim=256, layer_type="gcn", deq_iter=6, solver_dtype=jnp.float32,
+        rho_max=1e5,
+    )
+    policy = DEQMPCPolicy(cfg, env)
+    params = policy.init(jax.random.PRNGKey(0))
+    obs = jnp.asarray(rng.uniform(-0.3, 0.3, (fb, env.nx)), jnp.float32)
+    batch = {
+        "state": jnp.asarray(rng.normal(size=(fb, T, env.nx)) * 0.3,
+                             jnp.float32),
+        "action": jnp.full((fb, T, env.nu), env.u_hover, jnp.float32),
+        "mask": jnp.ones((fb, T), jnp.float32),
+    }
+
+    @jax.jit
+    def fwd(params, obs):
+        po, _ = policy.forward(params, obs, qp_solve=True)
+        return po["trajs"][-1][1]
+
+    dt_fwd, out = _time(fwd, params, obs, n_rep=10)
+    assert bool(jnp.all(jnp.isfinite(out))), "non-finite forward"
+
+    optimizer = optax.chain(optax.clip_by_global_norm(2.0), optax.adam(1e-3))
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p):
+        po, _ = policy.forward(p, obs, qp_solve=True)
+        d = compute_loss_deqmpc(policy, batch["state"], batch["action"],
+                                batch["mask"], po,
+                                x_init=po["init_states"])
+        return d["loss"]
+
+    @jax.jit
+    def train_step(p, o):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    dt_train, (_, _, loss) = _time(train_step, params, opt_state, n_rep=10)
+    assert np.isfinite(float(loss)), "non-finite train loss"
+
+    # --- 4. streaming warm-start per-tick latency at batch 1 -------------
+    scfg = PolicyConfig(
+        nx=env.nx, nu=env.nu, nq=env.nx // 2, T=T, dt=env.dt, bsz=1,
+        hdim=256, layer_type="gcn", deq_iter=3, solver_dtype=jnp.float32,
+        rho_max=1e5,
+    )
+    spolicy = DEQMPCPolicy(scfg, env)
+    sparams = spolicy.init(jax.random.PRNGKey(0))
+    sobs = obs[:1]
+
+    @jax.jit
+    def cold(params, x):
+        po, carry = spolicy.forward(params, x, qp_solve=True)
+        return po["trajs"][-1][2][:, 0], carry
+
+    @jax.jit
+    def warm(params, x, carry):
+        po, carry = spolicy.forward_warm_start(params, x, carry,
+                                               qp_solve=True)
+        return po["trajs"][-1][2][:, 0], carry
+
+    _, (u0, carry) = _time(cold, sparams, sobs, n_rep=5)
+    dt_warm, _ = _time(warm, sparams, sobs, carry, n_rep=50)
+    assert bool(jnp.all(jnp.isfinite(u0))), "non-finite control"
 
     target = 10_000.0
     print(json.dumps({
@@ -54,6 +145,12 @@ def main():
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / target, 3),
+        "deqmpc_fwd_ms": round(dt_fwd * 1e3, 2),
+        "deqmpc_fwd_throughput": round(fb / dt_fwd, 1),
+        "train_step_ms": round(dt_train * 1e3, 2),
+        "streaming_warm_ms": round(dt_warm * 1e3, 3),
+        "control_period_ms": round(env.dt * 1e3, 2),
+        "realtime_margin": round(env.dt / dt_warm, 2),
     }))
 
 

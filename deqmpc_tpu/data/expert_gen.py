@@ -198,7 +198,9 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
                                     pos_kv: float = 2.0,
                                     lean_max: float = 0.30,
                                     lead: float = 0.22,
-                                    success_filter: bool = True):
+                                    success_filter: bool = True,
+                                    ang_tol: float = 0.25,
+                                    pos_tol: float = 0.25):
     """Cascade analytic teacher for the flying cartpole: pole
     energy-shaping -> desired world acceleration -> geometric attitude
     control -> motor mixing.
@@ -362,7 +364,10 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
     ang_f = np.abs(np.mod(states[:, -1, 6] - np.pi + np.pi, 2 * np.pi) - np.pi)
     pos_f = np.linalg.norm(states[:, -1, :3], axis=-1)
     if success_filter:
-        ok &= (ang_f < 0.4) & (pos_f < 2.5)
+        # the dataset-quality gate (tests/test_expert_teachers.py)
+        # requires >=95% of kept episodes within 0.25 — enforce it at
+        # the source: oversample raw episodes, keep only solved ones
+        ok &= (ang_f < ang_tol) & (pos_f < pos_tol)
     return [
         [(states[b, t], actions[b, t]) for t in range(ep_len)]
         for b in np.nonzero(ok)[0]
