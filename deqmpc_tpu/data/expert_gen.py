@@ -119,6 +119,40 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     return episodes
 
 
+def generate_cartpole2l_capture_expert(env, n_episodes: int = 256,
+                                       ep_len: int = 300, horizon: int = 60,
+                                       seed: int = 0, al_iters: int = 10,
+                                       noise_std: float = 0.3,
+                                       tol: float = 0.25):
+    """Cartpole2link expert in the capture/stabilize regime: starts with
+    joint angles within +-0.7 of upright, cart within +-1, moderate
+    velocities; failed lanes filtered at `tol`.
+
+    The receding-horizon quadratic-cost MPC teacher cannot discover the
+    full 2-link swing-up from hanging (measured: median final error
+    6.96 at horizon 80) — that needs a global planner (the reference's
+    own cross-check used Julia ALTRO, `test_trajopt_altro.jl`, and its
+    data pipeline is not public, `datagen.py:16-29`). The capture
+    regime is where the teacher is competent (measured: 96% of lanes
+    within 0.25, median 0.03) and is the regime a T-step tracking
+    policy operates in."""
+    rng = np.random.default_rng(seed)
+    x0 = np.zeros((n_episodes, 6), np.float32)
+    x0[:, 0] = rng.uniform(-1.0, 1.0, n_episodes)
+    x0[:, 1:3] = rng.uniform(-0.7, 0.7, (n_episodes, 2))
+    x0[:, 3:] = rng.uniform(-1.0, 1.0, (n_episodes, 3))
+    eps = generate_mpc_expert(env, ep_len=ep_len, horizon=horizon,
+                              al_iters=al_iters, noise_std=noise_std,
+                              env_name="cartpole2link", x0=x0, seed=seed)
+    kept = []
+    for ep in eps:
+        err = np.asarray(ep[-1][0]) - np.asarray(env.targ_pos)
+        err[1:3] = np.mod(err[1:3] + np.pi, 2 * np.pi) - np.pi
+        if np.linalg.norm(err) < tol:
+            kept.append(ep)
+    return kept
+
+
 def generate_pendulum_energy_expert(env, n_episodes: int = 256,
                                     ep_len: int = 200, seed: int = 0,
                                     k_e: float = 1.0, k_p: float = 30.0,
@@ -405,6 +439,12 @@ def main():
     elif "FlyingCartpole" in args.env:
         episodes = generate_flying_cartpole_expert(
             env, n_episodes=args.episodes, ep_len=args.ep_len, seed=args.seed,
+        )
+    elif args.env == "cartpole2link":
+        episodes = generate_cartpole2l_capture_expert(
+            env, n_episodes=args.episodes, ep_len=args.ep_len,
+            horizon=args.horizon, seed=args.seed, al_iters=args.al_iters,
+            noise_std=args.noise_std,
         )
     else:
         episodes = generate_mpc_expert(

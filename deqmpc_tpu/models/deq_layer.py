@@ -135,7 +135,16 @@ class DEQLayer:
         params_cell = self.cell_mod.init(r2, inj["inj"], z)
         z_out = self.cell_mod.apply(params_cell, inj["inj"], z)
         params_out = self.out_mod.init(r3, z_out)
-        return {"input": inj["params"], "cell": params_cell, "out": params_out}
+        # per-iteration embedding parameters (reference
+        # `deq_layer.py:214,224`): present in the base layer's state
+        # for parity, but — exactly as in the reference, which feeds
+        # `self.embedding_params[0][None]*0` into the input layer
+        # (`deq_layer.py:78`) — NOT active in the base forward path.
+        # The Delta/Feedback/Q variants consume theirs.
+        emb_shape = ((c.deq_iter, c.hdim) if c.layer_type == "mlp"
+                     else (c.deq_iter, c.T - 1, c.hdim))
+        return {"input": inj["params"], "cell": params_cell,
+                "out": params_out, "iter_emb": jnp.zeros(emb_shape)}
 
     def _obs_dim(self):
         return self.cfg.nx

@@ -120,10 +120,11 @@ class TrackingMPC:
             x, u = self.ip_ctrl.solve(x0, cost, x_init=x_ref, u_init=u_ref)
             status = jnp.zeros((bsz,), bool)
             return x.astype(net_dtype), u.astype(net_dtype), status, state
-        if self.ctrl._all_obstacles is not None:
-            self.ctrl.select_obstacles(x_ref)
+        obs_sel = (self.ctrl.select_obstacles(x_ref.astype(self.dtype))
+                   if self.ctrl._all_obstacles is not None else None)
         x, u, status, new_state = self.ctrl.solve(
             x0, cost, state, al_iter=al_iters,
             x_init=x_ref, u_init=u_ref, streaming=streaming,
+            obstacles=obs_sel,
         )
         return x.astype(net_dtype), u.astype(net_dtype), status, new_state

@@ -186,17 +186,32 @@ class ALMPC:
     def solve(self, x0: Array, cost: QuadCost, state: ALState,
               al_iter: Optional[int] = None,
               x_init: Optional[Array] = None, u_init: Optional[Array] = None,
-              streaming: bool = False, return_history: bool = False):
+              streaming: bool = False, return_history: bool = False,
+              obstacles: Optional[ObstacleSet] = None):
         """Run the AL loop. Returns (x, u, status, new_state).
 
         x_init/u_init: warm-start trajectories used when the state has
         no primal iterate yet (the Tracking adapter passes the network
         reference, `policies.py:1242-1244`).
 
+        obstacles: the per-(b,t) selected ObstacleSet for this solve.
+        Prefer passing it explicitly (e.g. the value returned by
+        `select_obstacles(x_ref)` *inside the same trace*) — relying on
+        the `_obs_current` attribute means a jitted caller that skips
+        re-selection silently solves with stale obstacle constants.
+        With obstacles configured but never selected, this raises
+        instead of silently solving unconstrained.
+
         return_history=True additionally returns the per-AL-iteration
         (cost, lam, rho) stacks — the reference's `cost_lam_hist`
         (`AL_mpc.py:282,326-331`) — for `warm_start_al` restarts.
         """
+        if obstacles is not None:
+            self._obs_current = obstacles
+        elif self._all_obstacles is not None and self._obs_current is None:
+            raise ValueError(
+                "obstacle MPC: call select_obstacles(x_ref) in-trace or "
+                "pass obstacles= to solve()")
         al_iter = self.al_iter if al_iter is None else al_iter
         nx = self.nx
         dtype = self.dtype

@@ -32,6 +32,22 @@ def final_state_errors(x_final: np.ndarray, targ: np.ndarray,
     return err
 
 
+def success_dims_for_env(env_name: str, nx: int, nq: int):
+    """State dims entering the success norm, per env. Position-like
+    quantities only: mixing velocities (or MRP attitude, for the
+    quadrotors) into one norm made the 0.25 threshold mean different
+    things per env."""
+    if env_name.startswith("pendulum"):
+        return [0]                      # pole angle
+    if "cartpole" in env_name and "Flying" not in env_name:
+        return list(range(nq))          # cart position + joint angles
+    if env_name == "rexquadrotor":
+        return [0, 1, 2]                # world position
+    if "FlyingCartpole" in env_name:
+        return [0, 1, 2, 6]             # quad position + pole angle
+    return list(range(min(nq, nx)))
+
+
 def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
                 ep_len: int = None, seed: int = 0,
                 warm_start: bool = None) -> Dict[str, float]:
@@ -88,9 +104,11 @@ def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
     err = final_state_errors(xs[:, -1], np.asarray(env.targ_pos),
                              getattr(args, "env", ""), env.nx)
     final_dist = np.linalg.norm(err, axis=-1)
-    # success: final state within 0.25 of the target (position part)
+    # success: final state within 0.25 of the target over the env's
+    # position-like dims (angle dims already wrapped above)
     nq = min(getattr(env, "nq", env.nx // 2), env.nx)
-    success = np.linalg.norm(err[:, :nq], axis=-1) < 0.25
+    dims = success_dims_for_env(getattr(args, "env", ""), env.nx, nq)
+    success = np.linalg.norm(err[:, dims], axis=-1) < 0.25
     return {
         "mean_reward": float(np.nanmean(rewards)),
         "final_dist_mean": float(np.nanmean(final_dist)),

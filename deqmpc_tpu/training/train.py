@@ -105,6 +105,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # loading / eval
     p.add_argument("--load", action="store_true")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval_ep_len", type=int, default=None,
+                   help="closed-loop eval episode length; default "
+                        "env._max_episode_steps")
+    p.add_argument("--eval_episodes", type=int, default=32)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--start_iter", type=int, default=-1)
     p.add_argument("--logdir", type=str, default="./logs")
@@ -359,12 +363,34 @@ def save_checkpoint(path, params, opt_state=None, step=0, args=None):
         pickle.dump(blob, f)
 
 
+def _from_bytes_lenient(template, data):
+    """Deserialize with structure tolerance: leaves present in both the
+    saved blob and the template are restored; template-only leaves
+    (e.g. params added after the checkpoint was written, like the
+    base-layer `iter_emb`) keep their init values."""
+    from flax import serialization
+
+    try:
+        return serialization.from_bytes(template, data)
+    except ValueError:
+        saved = serialization.msgpack_restore(data)
+        tmpl_sd = serialization.to_state_dict(template)
+
+        def merge(t, s):
+            if isinstance(t, dict):
+                return {k: (merge(v, s[k]) if isinstance(s, dict) and k in s
+                            else v) for k, v in t.items()}
+            return s if s is not None else t
+
+        return serialization.from_state_dict(template, merge(tmpl_sd, saved))
+
+
 def load_checkpoint(path, params_template, opt_state_template=None):
     from flax import serialization
 
     with open(path, "rb") as f:
         blob = pickle.load(f)
-    params = serialization.from_bytes(params_template, blob["params"])
+    params = _from_bytes_lenient(params_template, blob["params"])
     opt_state = None
     if blob.get("opt_state") is not None and opt_state_template is not None:
         opt_state = serialization.from_bytes(opt_state_template, blob["opt_state"])
@@ -466,7 +492,9 @@ def main(argv=None):
     if args.eval:
         from .eval import eval_policy
 
-        stats = eval_policy(args, env, policy, params, gt)
+        stats = eval_policy(args, env, policy, params, gt,
+                            n_episodes=args.eval_episodes,
+                            ep_len=args.eval_ep_len)
         print(json.dumps(stats, indent=2))
         return stats
 

@@ -119,6 +119,31 @@ def test_streaming_train_step_window_alignment():
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
 
 
+def test_checkpoint_lenient_load_old_layout(tmp_path):
+    """Checkpoints written before a param was added (e.g. the base
+    layer's `iter_emb`) must still load: missing leaves keep their
+    init values, present leaves restore exactly."""
+    from flax import serialization
+
+    from deqmpc_tpu.training.train import _from_bytes_lenient
+
+    old = {"cell": {"w": np.ones((2, 2), np.float32)},
+           "out": {"k": np.full((3,), 2.0, np.float32)}}
+    blob = serialization.to_bytes(old)
+    template = {"cell": {"w": np.zeros((2, 2), np.float32)},
+                "out": {"k": np.zeros((3,), np.float32)},
+                "iter_emb": np.full((4,), 7.0, np.float32)}
+    restored = _from_bytes_lenient(template, blob)
+    np.testing.assert_array_equal(restored["cell"]["w"], old["cell"]["w"])
+    np.testing.assert_array_equal(restored["out"]["k"], old["out"]["k"])
+    np.testing.assert_array_equal(restored["iter_emb"], template["iter_emb"])
+    # exact-match layout still round-trips bit-exact
+    same = _from_bytes_lenient({"cell": {"w": np.zeros((2, 2), np.float32)},
+                                "out": {"k": np.zeros((3,), np.float32)}},
+                               blob)
+    np.testing.assert_array_equal(same["out"]["k"], old["out"]["k"])
+
+
 def test_dtype_double_solver_runs_f64():
     """--dtype double must actually produce an f64 solve (x64 is on in
     tests; the CLI wires jax_enable_x64 itself — reference solves in
