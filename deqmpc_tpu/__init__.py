@@ -33,8 +33,21 @@ import jax as _jax
 # caching makes every later invocation start in seconds. Opt out with
 # DEQMPC_NO_COMPILE_CACHE=1.
 if not _os.environ.get("DEQMPC_NO_COMPILE_CACHE"):
+    # key the cache by host CPU features: XLA:CPU AOT entries written
+    # on a different host SIGILL when the instruction set shrank
+    # (observed after a VM migration); TPU entries are unaffected but
+    # share the dir
+    import hashlib as _hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next((l for l in _f if l.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _cpu_key = _hashlib.sha1(_flags.encode()).hexdigest()[:12]
     _cache_dir = _os.environ.get(
-        "DEQMPC_COMPILE_CACHE", _os.path.expanduser("~/.cache/deqmpc_jax")
+        "DEQMPC_COMPILE_CACHE",
+        _os.path.expanduser(f"~/.cache/deqmpc_jax_{_cpu_key}"),
     )
     _os.makedirs(_cache_dir, exist_ok=True)
     try:

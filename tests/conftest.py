@@ -19,7 +19,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compile cache: nested-autodiff dynamics are compile-heavy;
-# cache makes repeated test runs fast.
-os.makedirs("/tmp/jax_test_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# cache makes repeated test runs fast. The cache dir is keyed by the
+# host CPU's feature set: XLA:CPU AOT binaries reuse the instruction
+# set they were compiled for, and loading a cache written on a
+# different host SIGILLs mid-test (observed: segfault in an estpred
+# grad test after a VM migration changed the avx512 feature set).
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((l for l in f if l.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+_cache_dir = f"/tmp/jax_test_cache_{_cpu_key}"
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
