@@ -55,3 +55,43 @@ if not _os.environ.get("DEQMPC_NO_COMPILE_CACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without these flags
         pass
+
+    # jax's LRUCache.put writes cache entries with a bare
+    # `write_bytes` (lru_cache.py:151) — no temp-file + rename. A
+    # concurrent process (trainer on TPU + test run on CPU share this
+    # dir) can read a half-written entry and segfault inside zstd
+    # decompression (observed: two pytest crashes in
+    # compilation_cache.get_executable_and_time). Make the write
+    # atomic: same-directory temp file + os.replace.
+    try:
+        from jax._src import lru_cache as _lru
+
+        if not getattr(_lru.LRUCache, "_deqmpc_atomic_put", False):
+            _orig_put = _lru.LRUCache.put
+
+            def _atomic_put(self, key, val):
+                import tempfile as _tempfile
+
+                if not key:
+                    raise ValueError("key cannot be empty")
+                cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+                if cache_path.exists():
+                    return
+                fd, tmp = _tempfile.mkstemp(
+                    dir=str(self.path), suffix=".tmp"
+                )
+                try:
+                    with _os.fdopen(fd, "wb") as f:
+                        f.write(val)
+                    _os.replace(tmp, str(cache_path))
+                except OSError:
+                    try:
+                        _os.unlink(tmp)
+                    except OSError:
+                        pass
+
+            _atomic_put._deqmpc_orig = _orig_put
+            _lru.LRUCache.put = _atomic_put
+            _lru.LRUCache._deqmpc_atomic_put = True
+    except Exception:  # pragma: no cover - jax internals moved
+        pass
