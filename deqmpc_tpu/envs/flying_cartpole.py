@@ -122,8 +122,12 @@ class FlyingCartpole(Env):
         dist = jnp.linalg.norm(r[..., None, :] - obs, axis=-1)
         return jnp.any(dist < self.obstacle_radius, axis=-1)
 
-    def reset(self, rng, bsz):
-        w = jnp.asarray(self.x_window)
+    def reset(self, rng, bsz, x_window=None):
+        """Uniform start in the euler-space window. `x_window` overrides
+        the default per-dim half-widths (reference parity: reset takes an
+        x_window override, `rex_quadrotor.py:260-270`) — e.g. a narrow
+        theta window evaluates the capture/stabilize regime."""
+        w = jnp.asarray(self.x_window if x_window is None else x_window)
         x = jax.random.uniform(rng, (bsz, 14), minval=-w, maxval=w)
         mrp = quat2mrp(euler_to_quaternion(x[:, 3:6]))
         theta = jnp.pi + x[:, 6:7]

@@ -93,8 +93,10 @@ class RexQuadrotor(Env):
         cost = cost + jnp.sum(u**2 * jnp.asarray(self.Rlqr) / 2, axis=-1) / 10
         return jnp.where(cost > 500, -cost, jnp.exp(-cost / 2 + 2))
 
-    def reset(self, rng, bsz):
-        w = jnp.asarray(self.x_window)
+    def reset(self, rng, bsz, x_window=None):
+        """`x_window` overrides the default half-widths (reference
+        parity: `rex_quadrotor.py:260-270` reset(bsz, x_window))."""
+        w = jnp.asarray(self.x_window if x_window is None else x_window)
         x = jax.random.uniform(rng, (bsz, 12), minval=-w, maxval=w)
         mrp = quat2mrp(euler_to_quaternion(x[:, 3:6]))
         return jnp.concatenate([x[:, :3], mrp, x[:, 6:]], axis=-1)

@@ -63,7 +63,16 @@ def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
         # cold-start training distribution otherwise
         warm_start = bool(getattr(args, "streaming", False))
     rng = jax.random.PRNGKey(seed)
-    x = env.reset(rng, n_episodes)
+    # optional start-window override (reference parity: env.reset takes
+    # an x_window override, `rex_quadrotor.py:260-270`): evaluate a
+    # narrower regime, e.g. capture/stabilize for the flying cartpole
+    x_window = getattr(args, "eval_x_window", None)
+    if x_window is not None:
+        x_window = np.asarray([float(v) for v in x_window.split(",")]) \
+            if isinstance(x_window, str) else np.asarray(x_window)
+        x = env.reset(rng, n_episodes, x_window=x_window)
+    else:
+        x = env.reset(rng, n_episodes)
 
     @jax.jit
     def first_step(params, x):

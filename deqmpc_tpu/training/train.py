@@ -109,6 +109,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="closed-loop eval episode length; default "
                         "env._max_episode_steps")
     p.add_argument("--eval_episodes", type=int, default=32)
+    p.add_argument("--eval_x_window", type=str, default=None,
+                   help="comma-separated per-dim reset half-widths "
+                        "(euler-space) overriding env.x_window for eval "
+                        "(reference reset x_window override, "
+                        "rex_quadrotor.py:260-270)")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--start_iter", type=int, default=-1)
     p.add_argument("--logdir", type=str, default="./logs")

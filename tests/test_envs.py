@@ -140,3 +140,22 @@ def test_reset_and_step():
     xn, r = env.step(x, jnp.zeros((6, 4)))
     assert xn.shape == (6, 14) and r.shape == (6,)
     assert not bool(jnp.any(jnp.isnan(xn)))
+
+
+def test_reset_x_window_override():
+    """reset(x_window=...) narrows the start distribution (reference
+    parity: `rex_quadrotor.py:260-270` reset takes an x_window
+    override). A zero window pins euler-space dims to their nominal
+    values (theta offset 0 -> pole exactly upright at pi)."""
+    env = FlyingCartpole()
+    w = np.zeros(14)
+    w[:3] = 0.5
+    x = env.reset(jax.random.PRNGKey(1), 8, x_window=w)
+    assert np.abs(np.asarray(x[:, :3])).max() <= 0.5
+    np.testing.assert_allclose(np.asarray(x[:, 6]), np.pi, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x[:, 7:]), 0.0, atol=1e-6)
+
+    from deqmpc_tpu.envs import RexQuadrotor
+    env2 = RexQuadrotor()
+    x2 = env2.reset(jax.random.PRNGKey(2), 4, x_window=np.zeros(12))
+    np.testing.assert_allclose(np.asarray(x2), 0.0, atol=1e-6)
