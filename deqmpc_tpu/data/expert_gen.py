@@ -412,15 +412,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", type=str, default="pendulum")
     p.add_argument("--episodes", type=int, default=256)
-    p.add_argument("--ep_len", type=int, default=200)
-    p.add_argument("--horizon", type=int, default=30)
+    # ep_len/horizon/al_iters/noise_std default to None so each
+    # teacher's tuned defaults apply; a flag only overrides when given.
+    # (Bug fixed here: the old CLI defaults (horizon 30, al_iters 2)
+    # silently overrode the cartpole2link capture teacher's tuned
+    # horizon 60 / al_iters 10 and produced 0 successful episodes.)
+    p.add_argument("--ep_len", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--teacher", type=str, default="mpc")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend so data generation can run "
                         "while the single TPU chip is busy training")
-    p.add_argument("--al_iters", type=int, default=2)
-    p.add_argument("--noise_std", type=float, default=0.2,
+    p.add_argument("--al_iters", type=int, default=None)
+    p.add_argument("--noise_std", type=float, default=None,
                    help="exploration noise of the analytic teacher; wide "
                         "coverage around the expert tube is what makes "
                         "behavior cloning robust in closed loop (the "
@@ -433,24 +438,31 @@ def main():
     env = make_env(args.env)
     if args.env.startswith("pendulum") and not args.env.endswith("stabilize"):
         episodes = generate_pendulum_energy_expert(
-            env, n_episodes=args.episodes, ep_len=args.ep_len, seed=args.seed,
-            noise_std=args.noise_std,
+            env, n_episodes=args.episodes, seed=args.seed,
+            ep_len=args.ep_len if args.ep_len is not None else 200,
+            noise_std=args.noise_std if args.noise_std is not None else 0.2,
         )
     elif "FlyingCartpole" in args.env:
         episodes = generate_flying_cartpole_expert(
-            env, n_episodes=args.episodes, ep_len=args.ep_len, seed=args.seed,
+            env, n_episodes=args.episodes, seed=args.seed,
+            ep_len=args.ep_len if args.ep_len is not None else 200,
         )
     elif args.env == "cartpole2link":
+        # tuned defaults of the capture teacher (ep_len 300, horizon 60,
+        # al_iters 10, noise 0.3) apply unless explicitly overridden
         episodes = generate_cartpole2l_capture_expert(
-            env, n_episodes=args.episodes, ep_len=args.ep_len,
-            horizon=args.horizon, seed=args.seed, al_iters=args.al_iters,
-            noise_std=args.noise_std,
+            env, n_episodes=args.episodes, seed=args.seed,
+            **{k: getattr(args, k) for k in
+               ("ep_len", "horizon", "al_iters", "noise_std")
+               if getattr(args, k) is not None},
         )
     else:
         episodes = generate_mpc_expert(
-            env, n_episodes=args.episodes, ep_len=args.ep_len,
-            horizon=args.horizon, seed=args.seed, al_iters=args.al_iters,
-            noise_std=args.noise_std, env_name=args.env,
+            env, n_episodes=args.episodes, seed=args.seed, env_name=args.env,
+            ep_len=args.ep_len if args.ep_len is not None else 200,
+            horizon=args.horizon if args.horizon is not None else 30,
+            al_iters=args.al_iters if args.al_iters is not None else 2,
+            noise_std=args.noise_std if args.noise_std is not None else 0.2,
         )
     os.makedirs(DATA_DIR, exist_ok=True)
     path = expert_data_path(env.spec_id, args.teacher)
