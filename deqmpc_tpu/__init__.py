@@ -49,10 +49,17 @@ if not _os.environ.get("DEQMPC_NO_COMPILE_CACHE"):
         "DEQMPC_COMPILE_CACHE",
         _os.path.expanduser(f"~/.cache/deqmpc_jax_{_cpu_key}"),
     )
-    _os.makedirs(_cache_dir, exist_ok=True)
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Respect a cache dir that was configured before this import
+        # (tests/conftest.py points test processes at a test-local dir;
+        # overriding it here made CPU test runs share the TPU trainer's
+        # cache and crash deserializing foreign entries).
+        if getattr(_jax.config, "jax_compilation_cache_dir", None) is None:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
     except Exception:  # older jax without these flags
         pass
 
@@ -72,6 +79,10 @@ if not _os.environ.get("DEQMPC_NO_COMPILE_CACHE"):
             def _atomic_put(self, key, val):
                 import tempfile as _tempfile
 
+                if getattr(self, "eviction_enabled", False):
+                    # Eviction needs the lock/size/atime bookkeeping of
+                    # the original implementation; don't reimplement it.
+                    return _orig_put(self, key, val)
                 if not key:
                     raise ValueError("key cannot be empty")
                 cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
@@ -80,15 +91,24 @@ if not _os.environ.get("DEQMPC_NO_COMPILE_CACHE"):
                 fd, tmp = _tempfile.mkstemp(
                     dir=str(self.path), suffix=".tmp"
                 )
+                replaced = False
                 try:
                     with _os.fdopen(fd, "wb") as f:
                         f.write(val)
                     _os.replace(tmp, str(cache_path))
-                except OSError:
-                    try:
-                        _os.unlink(tmp)
-                    except OSError:
-                        pass
+                    replaced = True
+                except OSError as e:
+                    import logging as _logging
+
+                    _logging.getLogger(__name__).debug(
+                        "compile-cache write failed for %s: %s", key, e
+                    )
+                finally:
+                    if not replaced:
+                        try:
+                            _os.unlink(tmp)
+                        except OSError:
+                            pass
 
             _atomic_put._deqmpc_orig = _orig_put
             _lru.LRUCache.put = _atomic_put

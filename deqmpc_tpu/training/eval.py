@@ -68,6 +68,13 @@ def eval_policy(args, env, policy, params, gt=None, n_episodes: int = 32,
     # narrower regime, e.g. capture/stabilize for the flying cartpole
     x_window = getattr(args, "eval_x_window", None)
     if x_window is not None:
+        import inspect
+
+        if "x_window" not in inspect.signature(env.reset).parameters:
+            raise ValueError(
+                f"--eval_x_window is not supported by {type(env).__name__}."
+                "reset (only FlyingCartpole/RexQuadrotor take a start-window"
+                " override)")
         x_window = np.asarray([float(v) for v in x_window.split(",")]) \
             if isinstance(x_window, str) else np.asarray(x_window)
         x = env.reset(rng, n_episodes, x_window=x_window)

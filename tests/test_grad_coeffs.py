@@ -60,9 +60,7 @@ def _variant_batch(env, bsz=4, T=4, H=3, seed=0):
     }
 
 
-def test_grad_ratios_mem_and_history_variants():
-    """--grad_coeff must work for variants, not just the base policy
-    (it used to silently degrade to a no-op)."""
+def _variant_grad_ratios_impl():
     from deqmpc_tpu.policies.policy_variants import (DEQMPCPolicyHistory,
                                                      DEQMPCPolicyMem)
 
@@ -78,3 +76,35 @@ def test_grad_ratios_mem_and_history_variants():
         assert ratios.shape == (2,)
         assert bool(jnp.all(jnp.isfinite(ratios)))
         assert bool(jnp.all(ratios > 0))
+
+
+def test_grad_ratios_mem_and_history_variants():
+    """--grad_coeff must work for variants, not just the base policy
+    (it used to silently degrade to a no-op).
+
+    Runs in a FRESH subprocess: the jacrev-over-Mem-policy program is
+    the largest XLA:CPU compile in the suite, and compiling (or
+    cache-deserializing) it after ~55 tests of accumulated process
+    state segfaults XLA:CPU (3/3 full-suite runs in round 2, plus one
+    reproduction this round — crash frames in
+    `compilation_cache.get_executable_and_time` /
+    `compiler.backend_compile_and_load`). The same body passes every
+    time in a clean process, so the suite isolates it rather than
+    carrying a known native crash."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("DEQMPC_GRAD_COEFF_SUBPROC") == "1":
+        _variant_grad_ratios_impl()
+        return
+    env = {**os.environ, "DEQMPC_GRAD_COEFF_SUBPROC": "1"}
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         f"{__file__}::test_grad_ratios_mem_and_history_variants",
+         "-q", "-p", "no:cacheprovider"],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, (
+        f"subprocess run failed (rc={r.returncode}):\n"
+        f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
