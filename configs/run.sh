@@ -22,6 +22,11 @@ case "${1:-pendulum}" in
   flying_diffmpc)
     python -m deqmpc_tpu.training.train --env FlyingCartpole --model_type diff-mpc-deq \
       --T 5 --hdim 256 --bsz 128 --nq 7 --save --name flying_diffmpc_deq ;;
+  # 3b. obstacle variant: solver carries per-(b,t) nearest-4 sphere
+  # constraints (AL_mpc_custom.py counterpart)
+  flying_obstacles)
+    python -m deqmpc_tpu.training.train --env FlyingCartpole_obstacles --model_type deq-mpc-nn \
+      --T 5 --deq_iter 6 --hdim 256 --bsz 128 --nq 7 --save --name flying_obstacles ;;
   # 4. rex_quadrotor deq-mpc-deq (hardest KKT blocks)
   rexquad)
     python -m deqmpc_tpu.training.train --env rexquadrotor --model_type deq-mpc-deq \

@@ -402,6 +402,14 @@ def generate_flying_cartpole_expert(env, n_episodes: int = 256,
         # requires >=95% of kept episodes within 0.25 — enforce it at
         # the source: oversample raw episodes, keep only solved ones
         ok &= (ang_f < ang_tol) & (pos_f < pos_tol)
+    if getattr(env, "obstacles", False):
+        # obstacle variant: the cascade teacher is obstacle-blind, so
+        # keep only episodes whose whole path is collision-free —
+        # avoidance at deployment comes from the solver's sphere
+        # constraints (`AL_mpc_custom.py`), but the imitation targets
+        # must not thread through obstacles
+        collided = np.asarray(env.check_collisions(jnp.asarray(states)))
+        ok &= ~collided.any(axis=1)
     return [
         [(states[b, t], actions[b, t]) for t in range(ep_len)]
         for b in np.nonzero(ok)[0]

@@ -251,7 +251,8 @@ class DEQLayerDelta(DEQLayer):
         c = self.cfg
         obs = in_obs_dict["o"]
         x_prev, z = in_aux_dict["x"], in_aux_dict["z"]
-        it = min(int(in_aux_dict.get("iter", 0)), c.deq_iter - 1)
+        it = jnp.minimum(jnp.asarray(in_aux_dict.get("iter", 0), jnp.int32),
+                         c.deq_iter - 1)
         inj = self._input(params, obs, x_prev)
         z_out, stats = self._fixed_point(
             params, inj, z + params["iter_emb"][it][None]
@@ -585,7 +586,8 @@ class DEQLayerFeedback(DEQLayer):
         x = in_aux_dict["x"]
         xn = in_aux_dict.get("xn", x)
         z = in_aux_dict["z"]
-        it = min(int(in_aux_dict.get("iter", 0)), c.deq_iter - 1)
+        it = jnp.minimum(jnp.asarray(in_aux_dict.get("iter", 0), jnp.int32),
+                         c.deq_iter - 1)
         bsz = obs.shape[0]
         if c.layer_type == "mlp":
             flat = jnp.concatenate(
@@ -666,7 +668,8 @@ class DEQLayerQ(DEQLayer):
         c = self.cfg
         obs = in_obs_dict["o"]
         x_prev, z, q = in_aux_dict["x"], in_aux_dict["z"], in_aux_dict["q"]
-        it = min(int(in_aux_dict.get("iter", 0)), c.deq_iter - 1)
+        it = jnp.minimum(jnp.asarray(in_aux_dict.get("iter", 0), jnp.int32),
+                         c.deq_iter - 1)
         bsz = obs.shape[0]
         q3 = q.reshape(bsz, c.T, 1)
         if c.layer_type == "mlp":

@@ -68,6 +68,13 @@ class PolicyConfig:
     dyn_res_tol: float = 1e-3
     solver_type: str = "al"   # 'al' | 'ip' (`train.py:61`)
     qp_iter: int = 1
+    # streaming real-time path: freeze dynamics Jacobians per tick
+    # (`AL_mpc.py:370-391` linearize_once)
+    linearize_once: bool = False
+    # solver->network re-entrancy: re-derive the tracking cost from the
+    # network between AL iterations (`AL_mpc.py:173` recompute_Qq,
+    # default off in the reference too)
+    recompute_Qq: bool = False
 
 
 class DEQMPCPolicy:
@@ -153,10 +160,27 @@ class DEQMPCPolicy:
                     sol_state, cfg.rho_init_max
                 )
             ns, na = x_ref, u_ref
+            model_call = None
+            if cfg.recompute_Qq:
+                # solver->network closure (`policies.py:165,261-270`):
+                # run the cell on the solver's current iterate and return
+                # the refreshed reference. Aux updates are discarded
+                # (the reference's `mem_update=False`); the call runs
+                # under stop_gradient like the reference's no_grad.
+                def model_call(xu, _aux=aux, _it=it):
+                    x_r = lax.stop_gradient(xu[..., : self.nx]).astype(obs.dtype)
+                    u_r = lax.stop_gradient(xu[..., self.nx:]).astype(obs.dtype)
+                    out_mc, _ = self.model(
+                        params, {"o": obs},
+                        {**_aux, "x": x_r, "u": u_r, "iter": _it})
+                    return jnp.concatenate(
+                        [out_mc["x_ref"], out_mc["u_ref"]], axis=-1)
             if qp_solve:
                 ns, na, status, sol_state = self.tracking_mpc(
                     x_t, x_ref, u_ref, sol_state, al_iters=cfg.al_iter,
                     streaming=warm_start,
+                    linearize_once=warm_start and cfg.linearize_once,
+                    model_call=model_call,
                 )
                 aux = {**aux, "x": ns, "u": na}
             if lastqp_solve:

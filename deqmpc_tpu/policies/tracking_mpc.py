@@ -12,7 +12,7 @@ solve's implicit custom_vjp.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,9 +99,23 @@ class TrackingMPC:
 
     def __call__(self, x0: Array, x_ref: Array, u_ref: Array, state: ALState,
                  q_scaling: Optional[Array] = None, al_iters: int = 2,
-                 streaming: bool = False, q_mask: Optional[Array] = None):
+                 streaming: bool = False, q_mask: Optional[Array] = None,
+                 linearize_once: bool = False,
+                 model_call: Optional[Callable] = None):
         """Returns (nominal_states, nominal_actions, status, new_state),
-        states/actions cast back to the network dtype (f32)."""
+        states/actions cast back to the network dtype (f32).
+
+        linearize_once: streaming real-time path — freeze the dynamics
+        Jacobians at the warm-started iterate and run the AL loop on the
+        linear model (the reference's `linearize_once=True` inside
+        `al_solve_stream`, `AL_mpc.py:370-377,388-391`). Only meaningful
+        with streaming=True and a warm-started state.
+
+        model_call: optional xu -> xu_ref network closure; when given,
+        the solver re-derives (Q, q) from the network between AL
+        iterations (`Tracking_MPC.compute_Qq`, `policies.py:1273,
+        1312-1315` with `recompute_Qq=True`). Q keeps its fixed diagonal
+        template; only the linear pull p tracks the fresh reference."""
         bsz = x0.shape[0]
         net_dtype = x_ref.dtype
         xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1).astype(self.dtype)
@@ -122,9 +136,21 @@ class TrackingMPC:
             return x.astype(net_dtype), u.astype(net_dtype), status, state
         obs_sel = (self.ctrl.select_obstacles(x_ref.astype(self.dtype))
                    if self.ctrl._all_obstacles is not None else None)
-        x, u, status, new_state = self.ctrl.solve(
-            x0, cost, state, al_iter=al_iters,
-            x_init=x_ref, u_init=u_ref, streaming=streaming,
-            obstacles=obs_sel,
-        )
+        compute_Qq = None
+        if model_call is not None:
+            def compute_Qq(xu):
+                xu_ref_new = model_call(xu)
+                p_new, _ = self.compute_pf(xu_ref_new.astype(self.dtype), Q)
+                return Q, p_new
+
+        if linearize_once and streaming:
+            x, u, status, new_state = self.ctrl.solve_linearize_once(
+                x0, cost, state, num_iters=al_iters,
+            )
+        else:
+            x, u, status, new_state = self.ctrl.solve(
+                x0, cost, state, al_iter=al_iters,
+                x_init=x_ref, u_init=u_ref, streaming=streaming,
+                obstacles=obs_sel, compute_Qq=compute_Qq,
+            )
         return x.astype(net_dtype), u.astype(net_dtype), status, new_state

@@ -187,12 +187,24 @@ class ALMPC:
               al_iter: Optional[int] = None,
               x_init: Optional[Array] = None, u_init: Optional[Array] = None,
               streaming: bool = False, return_history: bool = False,
-              obstacles: Optional[ObstacleSet] = None):
+              obstacles: Optional[ObstacleSet] = None,
+              compute_Qq: Optional[Callable] = None,
+              warm_start_history: Optional[Tuple] = None):
         """Run the AL loop. Returns (x, u, status, new_state).
 
         x_init/u_init: warm-start trajectories used when the state has
         no primal iterate yet (the Tracking adapter passes the network
         reference, `policies.py:1242-1244`).
+
+        compute_Qq: optional xu -> (Q, q) callable re-deriving the
+        tracking cost from the *network* at the current iterate between
+        AL iterations (the reference's solver->network re-entrancy,
+        `AL_mpc.py:301,318,549-556` with `recompute_Qq=True`; the
+        closure is `Tracking_MPC.compute_Qq` -> `model_call`,
+        `policies.py:261-270,1312-1315`). Runs under stop_gradient,
+        matching the reference's `torch.no_grad()` model_call. The
+        callable is a pure traced function, so the network->solver->
+        network loop stays inside one jitted region (SURVEY §1).
 
         obstacles: the per-(b,t) selected ObstacleSet for this solve.
         Prefer passing it explicitly (e.g. the value returned by
@@ -205,6 +217,13 @@ class ALMPC:
         return_history=True additionally returns the per-AL-iteration
         (cost, lam, rho) stacks — the reference's `cost_lam_hist`
         (`AL_mpc.py:282,326-331`) — for `warm_start_al` restarts.
+
+        warm_start_history: a (cost_hist, lam_hist, rho_hist) tuple from
+        a previous `return_history=True` solve on a nearby problem; the
+        duals/penalty are restarted from the first history entry whose
+        cost beats the current start (`al_utils.py:17-49`
+        warm_start_al). The reference ships these helpers unused; here
+        they are consumable through this option.
         """
         if obstacles is not None:
             self._obs_current = obstacles
@@ -232,6 +251,11 @@ class ALMPC:
         obs = self._obs_current
         stopped = jnp.zeros((), bool)  # streaming rho-overflow exit
         xu = jnp.concatenate([x, u], axis=-1)
+        if warm_start_history is not None:
+            c_hist, l_hist, r_hist = warm_start_history
+            cost_start = compute_cost(lax.stop_gradient(xu), Q, q)
+            lam, rho = warm_start_al(lam, rho, cost_start,
+                                     c_hist, l_hist, r_hist)
         hist_cost = [compute_cost(lax.stop_gradient(xu), Q, q)]
         hist_lam, hist_rho = [lam], [rho]
         for i in range(al_iter):
@@ -275,6 +299,15 @@ class ALMPC:
             hist_cost.append(compute_cost(xu_sg, Q, q))
             hist_lam.append(lam)
             hist_rho.append(rho)
+            if compute_Qq is not None and i < al_iter - 1:
+                # refresh the cost from the network at the new iterate;
+                # the next AL iteration's Newton solve tracks the updated
+                # reference (`AL_mpc.py:318` refreshes after the dual
+                # update). The final iteration's refresh would be dead
+                # code (nothing consumes it), so it is skipped.
+                Q_new, q_new = compute_Qq(xu_sg)
+                Q = lax.stop_gradient(Q_new.astype(dtype))
+                q = lax.stop_gradient(q_new.astype(dtype))
 
         x, u = xu[..., :nx], xu[..., nx:]
         new_state = ALState(

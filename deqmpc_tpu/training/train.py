@@ -90,7 +90,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--inner_deq_iters", type=int, default=4)
     p.add_argument("--grad_type", type=str, default="fp_grad")
     p.add_argument("--addmem", action="store_true")
+    p.add_argument("--recompute_Qq", action="store_true",
+                   help="re-derive the tracking cost from the network "
+                        "between AL iterations (solver->network "
+                        "re-entrancy; reference AL_mpc.py:173, default "
+                        "off there too)")
     p.add_argument("--streaming", action="store_true")
+    p.add_argument("--linearize_once", action="store_true",
+                   help="streaming ticks freeze the dynamics Jacobians at "
+                        "the warm-started iterate (the reference's "
+                        "linearize_once real-time path, AL_mpc.py:370-391)")
     p.add_argument("--streaming_steps", type=int, default=3)
     p.add_argument("--streaming_start_iter", type=int, default=0)
     p.add_argument("--deq_type", type=str, default="deq", choices=["deq", "nn"])
@@ -162,6 +171,8 @@ def build_policy(args, env, obstacles=None):
         al_iter=2, solver_dtype=solver_dtype,
         rho_init_max=args.rho_init_max, rho_max=rho_max,
         solver_type=args.solver_type, qp_iter=args.qp_iter,
+        linearize_once=getattr(args, "linearize_once", False),
+        recompute_Qq=getattr(args, "recompute_Qq", False),
     )
     if not args.deq:
         return NNMPCPolicy(cfg, env, obstacles=obstacles)
@@ -427,6 +438,27 @@ def main(argv=None):
     if args.nq <= 0:
         args.nq = env.nq if env.nq <= env.nx // 2 else env.nx // 2
 
+    if args.eval_x_window is not None:
+        import inspect
+
+        if "x_window" not in inspect.signature(env.reset).parameters:
+            raise SystemExit(
+                f"--eval_x_window: {type(env).__name__}.reset takes no "
+                "x_window override (only FlyingCartpole/RexQuadrotor do)")
+
+    # obstacle field -> solver constraints: the reference threads the env's
+    # obstacle set into Obstacle_MPC (`qpth/AL_mpc_custom.py:100-135` via
+    # `deqmpc/policies.py:1200-1216`); here the per-(b,t) nearest-k sphere
+    # constraints live in ALMPC and need the ObstacleSet at build time
+    obstacles = None
+    if getattr(env, "obstacles", False):
+        from ..solvers import ObstacleSet
+
+        obstacles = ObstacleSet(
+            centers=jnp.asarray(env.obstacle_positions),
+            radius=float(env.obstacle_radius),
+        )
+
     gt_trajs = get_gt_data(args, env, args.teacher)
     n_train = round(len(gt_trajs) * 0.9 * args.num_trajs_frac)
     val_trajs = gt_trajs[round(-len(gt_trajs) * 0.1):]
@@ -441,7 +473,7 @@ def main(argv=None):
         for _ in range(10)
     ]
 
-    policy = build_policy(args, env)
+    policy = build_policy(args, env, obstacles=obstacles)
     rng = jax.random.PRNGKey(args.seed)
     params = policy.init(rng)
 

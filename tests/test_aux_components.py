@@ -150,3 +150,33 @@ def test_final_state_errors_angle_wrap_cartpole2link():
     err = final_state_errors(x_final, np.zeros(6), "cartpole2link", 6)
     assert abs(err[0, 1]) < 0.011
     assert abs(err[0, 2] - 0.02) < 1e-9
+
+
+def test_policy_streaming_linearize_once():
+    """The linearize-once flag must be reachable from the policy's
+    warm-started streaming forward (the reference runs the lin variant
+    *inside* `al_solve_stream`, `AL_mpc.py:370-391`) — and its per-tick
+    controls must stay close to the full nonlinear streaming path."""
+    from deqmpc_tpu.policies import DEQMPCPolicy, PolicyConfig
+
+    env = PendulumEnv()
+    rng = np.random.default_rng(3)
+    obs = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 2)), jnp.float32)
+
+    outs = {}
+    for lin in (False, True):
+        cfg = PolicyConfig(nx=2, nu=1, nq=1, T=5, dt=env.dt, bsz=4, hdim=16,
+                           layer_type="mlp", deq_iter=2, fp_max_steps=4,
+                           solver_dtype=jnp.float64, linearize_once=lin)
+        policy = DEQMPCPolicy(cfg, env)
+        params = policy.init(jax.random.PRNGKey(0))
+        po, carry = policy.forward(params, obs)
+        obs2 = env.dynamics(po["trajs"][-1][1][:, 0], po["trajs"][-1][2][:, 0])
+        po2, _ = policy.forward_warm_start(params, obs2.astype(jnp.float32),
+                                           carry)
+        _, xs, us = po2["trajs"][-1]
+        assert bool(jnp.all(jnp.isfinite(xs))) and bool(jnp.all(jnp.isfinite(us)))
+        outs[lin] = np.asarray(us[:, 0])
+    # same network, warm start and cost: the frozen-Jacobian tick should
+    # land near the full nonlinear tick (not bitwise — different model)
+    assert np.abs(outs[True] - outs[False]).max() < 0.5

@@ -112,3 +112,46 @@ def test_solve_history_roundtrip():
                                cost_hist, lam_hist, rho_hist)
     assert lam2.shape == st2.lam.shape and rho2.shape == st2.rho.shape
     assert bool(jnp.all(jnp.isfinite(lam2)))
+
+
+def test_solve_consumes_warm_start_history():
+    """`solve(warm_start_history=...)` restarts (lam, rho) from a prior
+    return_history solve — the consumable wiring of the reference's
+    otherwise-unused `warm_start_al` helpers (`al_utils.py:17-49`)."""
+    env = PendulumEnv()
+    T, bsz = 5, 4
+
+    def dyn_jac(x, u):
+        xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+        return xn, jnp.concatenate([Jx, Ju], axis=-1)
+
+    mpc = ALMPC(env.nx, env.nu, T, u_lower=env.action_space.low,
+                u_upper=env.action_space.high,
+                dyn=env.dynamics, dyn_jac=dyn_jac,
+                dtype=jnp.float64, rho_max=1e8)
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (bsz, env.nx)))
+    Q = jnp.broadcast_to(
+        jnp.concatenate([jnp.asarray(env.Qlqr),
+                         jnp.asarray(env.Rlqr)])[None, None],
+        (bsz, T, env.nx + env.nu))
+    q = jnp.zeros((bsz, T, env.nx + env.nu))
+    cost = QuadCost(Q=Q, q=q, f=jnp.zeros((bsz, T)))
+    st = mpc.init_state(bsz)
+    _, _, _, st2, hist = mpc.solve(x0, cost, st, al_iter=3,
+                                   return_history=True)
+    # nearby problem: perturbed start, duals/penalty restarted from the
+    # recorded history instead of the raw carried state
+    x0b = x0 + 0.01
+    x, u, _, st3 = mpc.solve(x0b, cost, st2, al_iter=2,
+                             warm_start_history=hist)
+    assert bool(jnp.all(jnp.isfinite(x))) and bool(jnp.all(jnp.isfinite(u)))
+    # two more AL iterations from the restarted duals keep the iterate
+    # near-feasible (threshold is loose: the restart resets rho to an
+    # early history entry, trading feasibility for cost progress)
+    defects = x[:, 1:] - env.dynamics(x[:, :-1], u[:, :-1])
+    assert float(jnp.abs(defects).max()) < 0.5
+    # and the restart actually engaged: penalty differs from the plain
+    # carried state
+    x_p, u_p, _, st_p = mpc.solve(x0b, cost, st2, al_iter=2)
+    assert float(jnp.abs(st3.rho - st_p.rho).max()) > 0
