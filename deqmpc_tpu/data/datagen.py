@@ -39,7 +39,14 @@ def get_gt_data(args, env, type: str = "mpc") -> List:
             f"`python -m deqmpc_tpu.data.expert_gen --env {getattr(args, 'env', env.spec_id)}`"
         )
     with open(path, "rb") as f:
-        return pickle.load(f)
+        eps = pickle.load(f)
+    if not eps:
+        raise ValueError(
+            f"{path} contains no episodes (truncated or placeholder "
+            f"artifact?) — regenerate it with `python -m "
+            f"deqmpc_tpu.data.expert_gen --env "
+            f"{getattr(args, 'env', env.spec_id)}`")
+    return eps
 
 
 def merge_gt_data(gt_trajs: List, num_trajs: int = 2_000_000) -> Dict[str, np.ndarray]:

@@ -1,0 +1,103 @@
+"""Closed-loop obstacle comparison (BASELINE #3b / VERDICT r2 #4).
+
+Rolls a policy on FlyingCartpole_obstacles and reports the collision
+rate (fraction of episodes whose path enters any obstacle sphere) plus
+the usual success stats — for (a) the obstacle-constrained policy and
+(b) an unconstrained policy on the same episodes. The reference's
+counterpart capability is `Obstacle_MPC` through `Tracking_MPC`
+(`qpth/AL_mpc_custom.py:100-135`, `deqmpc/policies.py:1200-1216`).
+
+Usage:
+  python scripts/eval_obstacles.py --ckpt_obs model/flying_obstacles \
+      --ckpt_plain model/flying_deqmpc_nn --episodes 64 --ep_len 360
+"""
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deqmpc_tpu.envs import make_env
+from deqmpc_tpu.solvers import ObstacleSet
+from deqmpc_tpu.training.train import (apply_model_type_presets,
+                                       build_argparser, build_policy,
+                                       load_checkpoint)
+
+
+def rollout_stats(env, policy, params, n, ep_len, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    x = env.reset(rng, n)
+
+    @jax.jit
+    def first_step(params, x):
+        po, carry = policy.forward(params, x.astype(jnp.float32),
+                                   qp_solve=True, lastqp_solve=False)
+        return po["trajs"][-1][2][:, 0], carry
+
+    env_step = jax.jit(env.step)
+    check = jax.jit(env.check_collisions)
+    collided = np.zeros(n, bool)
+    xs = []
+    for t in range(ep_len):
+        u0, _ = first_step(params, x)
+        x, r = env_step(x, u0)
+        collided |= np.asarray(check(x))
+        xs.append(np.asarray(x))
+    xf = xs[-1]
+    th = np.mod(xf[:, 6], 2 * np.pi)
+    ang = np.abs(np.mod(th - np.pi + np.pi, 2 * np.pi) - np.pi)
+    pos = np.linalg.norm(xf[:, :3], axis=-1)
+    ok = np.isfinite(xf).all(-1)
+    succ = (np.sqrt(ang**2 + pos**2) < 0.25) & ok & ~collided
+    return {
+        "collision_rate": float(collided.mean()),
+        "success_rate": float(succ.mean()),
+        "final_dist_mean": float(np.nanmean(np.sqrt(ang**2 + pos**2))),
+        "n_nan": int((~ok).sum()),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_obs", type=str, required=True)
+    p.add_argument("--ckpt_plain", type=str, default=None)
+    p.add_argument("--episodes", type=int, default=64)
+    p.add_argument("--ep_len", type=int, default=360)
+    p.add_argument("--model_type", type=str, default="deq-mpc-nn")
+    args = p.parse_args()
+
+    env = make_env("FlyingCartpole_obstacles")
+    obstacles = ObstacleSet(centers=jnp.asarray(env.obstacle_positions),
+                            radius=float(env.obstacle_radius))
+    targs = build_argparser().parse_args(
+        f"--env FlyingCartpole_obstacles --model_type {args.model_type} "
+        "--T 5 --deq_iter 6 --hdim 256 --bsz 128 --nq 7".split())
+    targs = apply_model_type_presets(targs)
+
+    out = {}
+    # (a) obstacle-constrained policy
+    pol = build_policy(targs, env, obstacles=obstacles)
+    params = pol.init(jax.random.PRNGKey(0))
+    params, _, step, _ = load_checkpoint(args.ckpt_obs, params, None)
+    out["constrained"] = rollout_stats(env, pol, params, args.episodes,
+                                       args.ep_len)
+    out["constrained"]["ckpt_step"] = step
+    # (b) the same weights deployed WITHOUT obstacle constraints — the
+    # ablation isolating what the solver constraints buy at deployment
+    pol_unc = build_policy(targs, env, obstacles=None)
+    out["unconstrained_same_weights"] = rollout_stats(
+        env, pol_unc, params, args.episodes, args.ep_len)
+    # (c) optional: an obstacle-blind policy trained on plain flying
+    if args.ckpt_plain:
+        params_p = pol_unc.init(jax.random.PRNGKey(0))
+        params_p, _, step_p, _ = load_checkpoint(args.ckpt_plain, params_p,
+                                                 None)
+        out["plain_policy"] = rollout_stats(env, pol_unc, params_p,
+                                            args.episodes, args.ep_len)
+        out["plain_policy"]["ckpt_step"] = step_p
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,3 +36,20 @@ _cache_dir = f"/tmp/jax_test_cache_{_cpu_key}"
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# The suite compiles hundreds of XLA:CPU executables; each keeps
+# multiple mmap regions alive, and a full single-process run crosses
+# vm.max_map_count (65530 default) near test ~55, after which failed
+# mmaps segfault the AOT loader inside compile/cache-read (measured:
+# 53k maps by test 31; 5/5 full-suite crashes at the same mark in
+# rounds 2-3). Dropping compiled executables between modules bounds the
+# high-water mark; the persistent compile cache makes the re-loads
+# cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_map_count():
+    yield
+    jax.clear_caches()
