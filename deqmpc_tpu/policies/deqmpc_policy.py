@@ -95,6 +95,15 @@ class DEQMPCPolicy:
             grad_type=cfg.grad_type, kernel_width=cfg.kernel_width,
         )
         self.model = FFDNetwork(mcfg) if cfg.deq_type == "nn" else self._make_model(mcfg)
+        # Warm-restart penalty: the reference clamps rho <= rho_init_max
+        # =1e4 under rho_max=1e8 (`AL_mpc.py:590-591`) — i.e. every
+        # receding-horizon tick re-sweeps FOUR decades of the rho
+        # schedule. Under a smaller (f32) rho_max, carrying 1e4 leaves
+        # the solver pinned at the cap from the first Newton step and
+        # warm-started closed-loop control collapses (measured: 0%
+        # success at rho_init_max=1e4/rho_max=1e5 vs 100% at 10/1e5 on
+        # rex_quadrotor). Preserve the schedule depth, not the constant.
+        self.rho_warm_max = min(cfg.rho_init_max, cfg.rho_max * 1e-4)
         self.tracking_mpc = TrackingMPC(
             env, cfg.T, al_iter=cfg.al_iter, dtype=cfg.solver_dtype,
             max_newton_steps=cfg.max_newton_steps, rho_max=cfg.rho_max,
@@ -157,7 +166,7 @@ class DEQMPCPolicy:
                 # shift duals/primal for the receding-horizon step
                 # (`policies.py:230`, `AL_mpc.py:581-591`)
                 sol_state = self.tracking_mpc.warm_start_state(
-                    sol_state, cfg.rho_init_max
+                    sol_state, self.rho_warm_max
                 )
             ns, na = x_ref, u_ref
             model_call = None
@@ -210,7 +219,10 @@ class DEQMPCPolicy:
         last entry."""
 
         def shift(a):
-            if a.ndim >= 2 and a.shape[1] == self.T:
+            # time axis is T for trajectories and T-1 for the gcn
+            # latent z (one cell per knot transition); both roll left
+            # (`policies.py:272-281` shifts z, x, u alike)
+            if a.ndim >= 2 and a.shape[1] in (self.T, self.T - 1):
                 return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
             return a
 

@@ -428,8 +428,15 @@ def main(argv=None):
                 "refused jax_enable_x64 (use the CPU backend for f64 runs)"
             )
 
-    # streaming schedule (`train.py:142-148`)
-    args.str_al_iter = min(int(np.log10(1e10 / args.rho_init_max) / 2), args.deq_iter)
+    # streaming schedule (`train.py:142-148`). The reference computes
+    # min(log10(1e10/rho_init_max)/2, deq_iter) with rho_max=1e8; use
+    # the effective warm-restart penalty (scaled to rho_max, see
+    # DEQMPCPolicy.rho_warm_max) so the budget is the same number of
+    # AL decades on any dtype: 3 for both (1e4..1e10 | 10..1e7).
+    _rho_max = args.rho_max or (1e8 if args.dtype == "double" else 1e5)
+    _rho_warm = min(args.rho_init_max, _rho_max * 1e-4)
+    args.str_al_iter = min(int(np.log10(_rho_max * 100 / _rho_warm) / 2),
+                           args.deq_iter)
     total_deq_iter = args.deq_iter
     if args.streaming and args.streaming_start_iter == 0:
         total_deq_iter = args.deq_iter + args.str_al_iter * args.streaming_steps

@@ -180,3 +180,38 @@ def test_policy_streaming_linearize_once():
     # same network, warm start and cost: the frozen-Jacobian tick should
     # land near the full nonlinear tick (not bitwise — different model)
     assert np.abs(outs[True] - outs[False]).max() < 0.5
+
+
+def test_warm_tick_rho_schedule_depth():
+    """Warm receding-horizon ticks must re-sweep the rho schedule. With
+    a reduced (f32) rho_max the reference constant rho_init_max=1e4
+    pins the solver at the cap and warm closed-loop control collapses
+    (measured 0% vs 100% success on rex_quadrotor); the policy must
+    scale the warm-restart penalty to keep 4 decades of schedule."""
+    from deqmpc_tpu.policies import DEQMPCPolicy, PolicyConfig
+
+    env = PendulumEnv()
+    cfg32 = PolicyConfig(nx=2, nu=1, nq=1, T=5, dt=env.dt, bsz=4, hdim=16,
+                         layer_type="mlp", deq_iter=2, fp_max_steps=4,
+                         rho_max=1e5)
+    assert DEQMPCPolicy(cfg32, env).rho_warm_max == 10.0
+    cfg64 = PolicyConfig(nx=2, nu=1, nq=1, T=5, dt=env.dt, bsz=4, hdim=16,
+                         layer_type="mlp", deq_iter=2, fp_max_steps=4,
+                         rho_max=1e8)
+    # reference default regime: unchanged (AL_mpc.py:590-591)
+    assert DEQMPCPolicy(cfg64, env).rho_warm_max == 1e4
+
+    # behavioral: after the warm tick the solver state's rho reflects a
+    # restarted schedule, not the carried cap
+    pol = DEQMPCPolicy(cfg32, env)
+    p = pol.init(jax.random.PRNGKey(0))
+    obs = jnp.asarray(np.random.default_rng(0).uniform(-0.3, 0.3, (4, 2)),
+                      jnp.float32)
+    po, carry = pol.forward(p, obs)
+    # cold run's 4 AL iterations end with rho far above the warm restart
+    assert float(carry.solver.rho.max()) >= 1e4
+    po2, carry2 = pol.forward_warm_start(p, obs, carry)
+    ns = po2["trajs"][-1][1]
+    # the warm solve re-anchors at the new obs (a pinned-at-cap solver
+    # cannot move its carried iterate there)
+    assert float(jnp.abs(ns[:, 0] - obs).max()) < 0.05
