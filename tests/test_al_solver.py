@@ -169,6 +169,7 @@ def test_pendulum_al_solve_feasible():
     assert float(jnp.min(u)) > -env.max_torque - 5e-3
 
 
+@pytest.mark.slow
 def test_implicit_gradients_match_fd():
     """dX*/dq via the custom_vjp vs central finite differences."""
     rng = np.random.default_rng(3)

@@ -46,6 +46,7 @@ def test_dynamics_batch_consistency(env):
     np.testing.assert_allclose(batched, singles, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_cartpole_energy_conservation():
     """With zero input and no friction, RK4 at dt=1e-3 conserves energy."""
     env = CartpoleEnv(nx=4, dt=1e-3)
@@ -61,6 +62,7 @@ def test_cartpole_energy_conservation():
     assert abs(float(energy(x) - e0)) < 1e-6
 
 
+@pytest.mark.slow
 def test_cartpole2l_energy_conservation():
     """2-link: catches mask-matrix mistakes the 1x1 case hides."""
     env = CartpoleEnv(nx=6, dt=1e-3)

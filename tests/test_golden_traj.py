@@ -27,6 +27,7 @@ def test_golden_is_dynamically_feasible(golden):
     assert rollout_defect(X, U) < 1e-3
 
 
+@pytest.mark.slow
 def test_al_solver_reproduces_ip_golden(golden):
     """Cross-solver agreement: the AL path re-solves the regularized
     capture problem cold and lands on the IP-produced golden."""

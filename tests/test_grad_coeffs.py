@@ -1,4 +1,5 @@
 """Gradient-ratio coefficient tests."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +79,7 @@ def _variant_grad_ratios_impl():
         assert bool(jnp.all(ratios > 0))
 
 
+@pytest.mark.slow
 def test_grad_ratios_mem_and_history_variants():
     """--grad_coeff must work for variants, not just the base policy
     (it used to silently degrade to a no-op).

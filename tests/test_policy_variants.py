@@ -50,6 +50,7 @@ def _grad_check(policy, params, forward_fn, gt):
     assert float(jnp.linalg.norm(flat)) > 0
 
 
+@pytest.mark.slow
 def test_mem_policy():
     policy = DEQMPCPolicyMem(_cfg(), ENV)
     params = policy.init(jax.random.PRNGKey(0))
@@ -60,6 +61,7 @@ def test_mem_policy():
                 (gt_s, gt_a, mask))
 
 
+@pytest.mark.slow
 def test_history_policy():
     policy = DEQMPCPolicyHistory(_cfg(), ENV, H=H)
     params = policy.init(jax.random.PRNGKey(0))
@@ -72,6 +74,7 @@ def test_history_policy():
                 (gt_s, gt_a, mask))
 
 
+@pytest.mark.slow
 def test_history_estpred_policy():
     policy = DEQMPCPolicyHistoryEstPred(_cfg(), ENV, H=H)
     params = policy.init(jax.random.PRNGKey(0))

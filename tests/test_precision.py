@@ -5,6 +5,7 @@ f32 with a capped rho. This test checks the f32 solve's controls match
 the f64 solve on the rexquad tracking problem — the triage gate for
 the fp64->fp32 migration (SURVEY.md §7 hard part #2).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def _solve(dtype, rho_max):
     return np.asarray(x), np.asarray(u)
 
 
+@pytest.mark.slow
 def test_f32_controls_match_f64():
     x64, u64 = _solve(jnp.float64, 1e8)
     x32, u32 = _solve(jnp.float32, 1e5)

@@ -115,6 +115,7 @@ def _solve_reference(ref_qpth, env, x0, x_ref, u_ref, al_iters):
     return x.double().numpy(), u.double().numpy()
 
 
+@pytest.mark.slow
 def test_rexquad_control_sequence_match(ref_qpth):
     """The BASELINE.json north-star parity metric."""
     from deqmpc_tpu.envs import RexQuadrotor

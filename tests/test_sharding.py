@@ -78,6 +78,7 @@ def test_sharded_train_step_runs_and_grads_sync(setup):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__
 
@@ -91,6 +92,7 @@ def _per_sample(fn, args_sharded, args_single):
     return np.asarray(out_s), np.asarray(out_r)
 
 
+@pytest.mark.slow
 def test_sharded_streaming_warm_start_matches_single_device(setup):
     """The warm-started receding-horizon step carries per-sample solver
     state (lambda, rho, primal iterate) — it must shard with zero

@@ -75,6 +75,7 @@ def test_estpred_train_step_end_to_end():
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
 
+@pytest.mark.slow
 def test_streaming_train_step_window_alignment():
     """The streaming loss must supervise warm-started forward l with
     the window batch["state"][:, l:l+T] (reference schedule
