@@ -13,6 +13,12 @@ Usage:
 """
 import argparse
 import json
+import os
+import sys
+
+# runnable as `python scripts/eval_obstacles.py` from the repo root
+# (PYTHONPATH must stay unset — it breaks axon TPU registration)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
