@@ -200,6 +200,22 @@ def build_policy(args, env, obstacles=None):
     return DEQMPCPolicy(cfg, env, obstacles=obstacles)
 
 
+def build_obstacles(env):
+    """Obstacle field -> solver constraints: the reference threads the
+    env's obstacle set into Obstacle_MPC (`qpth/AL_mpc_custom.py:100-135`
+    via `deqmpc/policies.py:1200-1216`); here the per-(b,t) nearest-k
+    sphere constraints live in ALMPC and need the ObstacleSet at policy
+    build time. Returns None for obstacle-free envs."""
+    if not getattr(env, "obstacles", False):
+        return None
+    from ..solvers import ObstacleSet
+
+    return ObstacleSet(
+        centers=jnp.asarray(env.obstacle_positions),
+        radius=float(env.obstacle_radius),
+    )
+
+
 def unnormalize_for_env(env_name, x):
     if env_name.startswith("pendulum"):
         return utils.unnormalize_states_pendulum(x)
@@ -453,18 +469,7 @@ def main(argv=None):
                 f"--eval_x_window: {type(env).__name__}.reset takes no "
                 "x_window override (only FlyingCartpole/RexQuadrotor do)")
 
-    # obstacle field -> solver constraints: the reference threads the env's
-    # obstacle set into Obstacle_MPC (`qpth/AL_mpc_custom.py:100-135` via
-    # `deqmpc/policies.py:1200-1216`); here the per-(b,t) nearest-k sphere
-    # constraints live in ALMPC and need the ObstacleSet at build time
-    obstacles = None
-    if getattr(env, "obstacles", False):
-        from ..solvers import ObstacleSet
-
-        obstacles = ObstacleSet(
-            centers=jnp.asarray(env.obstacle_positions),
-            radius=float(env.obstacle_radius),
-        )
+    obstacles = build_obstacles(env)
 
     gt_trajs = get_gt_data(args, env, args.teacher)
     n_train = round(len(gt_trajs) * 0.9 * args.num_trajs_frac)
