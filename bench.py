@@ -186,6 +186,15 @@ def main():
     assert bool(jnp.all(jnp.isfinite(u_lin))), "non-finite lin control"
 
     target = 10_000.0
+
+    def _finite(v, nd):
+        # cost_analysis() failures propagate NaN into the derived
+        # roofline numbers; json.dumps would then emit non-RFC `NaN`
+        # and break the one-line-JSON contract for strict parsers
+        if v is None or not np.isfinite(v):
+            return None
+        return round(float(v), nd)
+
     print(json.dumps({
         "metric": "rexquad_al_solve_throughput",
         "value": round(solves_per_s, 1),
@@ -197,10 +206,10 @@ def main():
         "phase_network_fwd_ms": round(dt_net * 1e3, 2),
         "phase_solver_fwd_ms": round((dt_fwd - dt_net) * 1e3, 2),
         "phase_backward_opt_ms": round((dt_train - dt_fwd) * 1e3, 2),
-        "solve_gflop_per_batch": round(solve_gflop, 3),
-        "solve_achieved_gflops": round(achieved_gflops, 1),
+        "solve_gflop_per_batch": _finite(solve_gflop, 3),
+        "solve_achieved_gflops": _finite(achieved_gflops, 1),
         "device_kind": kind,
-        "solve_mfu_f32": round(mfu, 5) if mfu is not None else None,
+        "solve_mfu_f32": _finite(mfu, 5),
         "streaming_warm_ms": round(dt_warm * 1e3, 3),
         "streaming_warm_lin_ms": round(dt_warm_lin * 1e3, 3),
         "control_period_ms": round(env.dt * 1e3, 2),

@@ -68,6 +68,11 @@ class PolicyConfig:
     dyn_res_tol: float = 1e-3
     solver_type: str = "al"   # 'al' | 'ip' (`train.py:61`)
     qp_iter: int = 1
+    # IP/SQP path knobs: per-sample convergence threshold (`--eps`,
+    # `qp_wrapper.py:173,377`) and linearization method
+    # (`qp_wrapper.py:27-31` GradMethods)
+    ip_eps: float = 1e-2
+    ip_grad_method: str = "analytic"
     # streaming real-time path: freeze dynamics Jacobians per tick
     # (`AL_mpc.py:370-391` linearize_once)
     linearize_once: bool = False
@@ -109,6 +114,7 @@ class DEQMPCPolicy:
             max_newton_steps=cfg.max_newton_steps, rho_max=cfg.rho_max,
             dyn_res_tol=cfg.dyn_res_tol, obstacles=obstacles,
             solver_type=cfg.solver_type, qp_iter=cfg.qp_iter,
+            ip_eps=cfg.ip_eps, ip_grad_method=cfg.ip_grad_method,
         )
 
     def _make_model(self, mcfg):
@@ -218,19 +224,26 @@ class DEQMPCPolicy:
         (`policies.py:272-281`): roll z/x/u left one step, repeat the
         last entry."""
 
-        def shift(a):
-            # time axis is T for trajectories and T-1 for the gcn
-            # latent z (one cell per knot transition); both roll left
-            # (`policies.py:272-281` shifts z, x, u alike)
-            if a.ndim >= 2 and a.shape[1] in (self.T, self.T - 1):
+        def shift_traj(a):
+            # x/u trajectories: known (bsz, T, nx|nu) layout, roll the
+            # time axis left (`policies.py:272-281`)
+            return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+        def shift_z(a):
+            # z leaves carry a time axis only in the conv trunks:
+            # (bsz, T|T-1, hdim), always 3-D with trailing features.
+            # The mlp latent is (bsz, hdim) — 2-D, no time structure —
+            # so dispatch on rank, not a bare shape match (a 2-D leaf
+            # with hdim == T must not get its feature axis rolled).
+            if a.ndim == 3 and a.shape[1] in (self.T, self.T - 1):
                 return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
             return a
 
-        shift_tree = lambda t: jax.tree_util.tree_map(shift, t)
+        shift_tree = lambda t: jax.tree_util.tree_map(shift_z, t)
         return PolicyCarry(
             z=lax.stop_gradient(shift_tree(aux["z"])),
-            x=lax.stop_gradient(shift(aux["x"])),
-            u=lax.stop_gradient(shift(aux["u"])),
+            x=lax.stop_gradient(shift_traj(aux["x"])),
+            u=lax.stop_gradient(shift_traj(aux["u"])),
             solver=sol_state,
         )
 

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..models.deq_layer_variants import (DEQLayerFeedback, DEQLayerHistory,
+from ..models.deq_layer_variants import (DEQLayerDelta, DEQLayerFeedback,
+                                         DEQLayerHistory,
                                          DEQLayerHistoryState,
                                          DEQLayerHistoryStateEstPred,
                                          DEQLayerMem, DEQLayerQ)
@@ -48,6 +49,22 @@ class DEQMPCPolicyMem(DEQMPCPolicy):
         )
         policy_out["init_states"] = x_ref
         return policy_out, carry
+
+
+class DEQMPCPolicyDelta(DEQMPCPolicy):
+    """DEQLayerDelta-backed policy (`--policy_variant delta`): learned
+    per-iteration output scales + iteration embeddings, deltas relative
+    to the previous prediction (the reference reaches this layer by
+    swapping the model class at `policies.py:92`,
+    `deq_layer.py:422-507`). The `scales` parameters receive no
+    gradient (straight-through `scale_multiply_st`); the trainer
+    updates them by EMA of per-iteration prediction-error medians
+    (`update_scales`, `deq_layer_utils.py:55-63`)."""
+
+    is_delta = True
+
+    def _make_model(self, mcfg):
+        return DEQLayerDelta(mcfg)
 
 
 class DEQMPCPolicyHistory(DEQMPCPolicy):

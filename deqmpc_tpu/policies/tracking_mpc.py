@@ -31,6 +31,7 @@ class TrackingMPC:
                  rho_max: float = 1e8, dyn_res_tol: float = 1e-3,
                  obstacles: Optional[ObstacleSet] = None, n_obs_sel: int = 4,
                  solver_type: str = "al", qp_iter: int = 1,
+                 ip_eps: float = 1e-2, ip_grad_method: str = "analytic",
                  tridiag_backend: str = "auto",
                  aux_cost: Optional[Tuple] = None):
         self.env = env
@@ -81,6 +82,7 @@ class TrackingMPC:
                 self.nx, self.nu, T,
                 u_lower=env.action_space.low, u_upper=env.action_space.high,
                 dyn=dyn, dyn_jac=dyn_jac, qp_iter=qp_iter, dtype=dtype,
+                eps=ip_eps, grad_method=ip_grad_method,
             )
 
     def init_state(self, bsz: int) -> ALState:
@@ -119,15 +121,18 @@ class TrackingMPC:
         bsz = x0.shape[0]
         net_dtype = x_ref.dtype
         xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1).astype(self.dtype)
-        Q = jnp.broadcast_to(self.Q0, (bsz, self.T, self.nx + self.nu))
+        Q_pre = jnp.broadcast_to(self.Q0, (bsz, self.T, self.nx + self.nu))
         if q_scaling is not None:
             # reference adds 1: Q * (q_scaling + 1) (`policies.py:1245-1248`)
-            Q = Q * (q_scaling.astype(self.dtype) + 1.0)[:, :, None]
-        p, f = self.compute_pf(xu_ref, Q)
+            Q_pre = Q_pre * (q_scaling.astype(self.dtype) + 1.0)[:, :, None]
+        p, f = self.compute_pf(xu_ref, Q_pre)
+        Q = Q_pre
+        aux_p_masked = None
         if self.aux_Q is not None:
             mask = (jnp.ones((bsz,), self.dtype) if q_mask is None
                     else q_mask.astype(self.dtype))
-            p = p + self.aux_p * mask[:, None, None]
+            aux_p_masked = self.aux_p * mask[:, None, None]
+            p = p + aux_p_masked
             Q = Q + self.aux_Q
         cost = QuadCost(Q=Q, q=p, f=f)
         if self.solver_type == "ip":
@@ -138,14 +143,38 @@ class TrackingMPC:
                    if self.ctrl._all_obstacles is not None else None)
         compute_Qq = None
         if model_call is not None:
+            if linearize_once and streaming:
+                # solve_linearize_once has no between-iteration cost
+                # refresh; silently dropping the closure would disable
+                # the opt-in re-entrancy without telling the user
+                raise ValueError(
+                    "recompute_Qq is not supported on the linearize-once "
+                    "streaming path (the frozen-Jacobian solver takes no "
+                    "compute_Qq); disable one of the two flags")
+
             def compute_Qq(xu):
+                # Refresh cadence: (Q, q) are re-derived once per AL
+                # iteration, not inside every Newton cost evaluation as
+                # the reference does (`AL_mpc.py:301` via the NewtonAL
+                # cost closure, `al_utils.py:473-478`) — a deliberate,
+                # coarser cadence that keeps the Newton inner loop free
+                # of network calls (one jitted region, SURVEY §1).
+                # Mirror the initial cost construction: p from the
+                # pre-aux Q template, then re-add the masked aux pull.
                 xu_ref_new = model_call(xu)
-                p_new, _ = self.compute_pf(xu_ref_new.astype(self.dtype), Q)
+                p_new, _ = self.compute_pf(xu_ref_new.astype(self.dtype), Q_pre)
+                if aux_p_masked is not None:
+                    p_new = p_new + aux_p_masked
                 return Q, p_new
 
         if linearize_once and streaming:
+            # fixed budget of 8 linear-model AL iterations (the solver
+            # default): the masked stall / rho-cap exits govern actual
+            # termination, matching the reference's up-to-100 loop with
+            # early exits (`AL_mpc.py:378-421`) rather than the outer
+            # al_iters=2 which would under-iterate the penalty schedule
             x, u, status, new_state = self.ctrl.solve_linearize_once(
-                x0, cost, state, num_iters=al_iters,
+                x0, cost, state,
             )
         else:
             x, u, status, new_state = self.ctrl.solve(

@@ -40,6 +40,15 @@ def anderson(f, x0: Array, m: int = 5, lam: float = 1e-6, max_steps: int = 10,
 
     x0: (bsz, ...) initial iterate; f maps (bsz, ...) -> (bsz, ...).
     Returns (best iterate, FPInfo).
+
+    NOTE on `tol`: unlike the reference (`fp_solvers.py:261-265`, which
+    breaks out of the Python loop once every sample is below tol), this
+    implementation always runs exactly `max_steps` iterations — a
+    data-dependent early exit would prevent a single compiled TPU
+    program. `tol` is therefore accepted for signature parity but
+    IGNORED; per-sample best-iterate tracking supplies the same result
+    the reference's early exit would have returned. Callers porting
+    reference code should size `max_steps`, not `tol`.
     """
     orig_shape = x0.shape
     bsz = orig_shape[0]
@@ -127,7 +136,10 @@ def anderson_jiio(f, x0: Array, m: int = 5, lam: float = 1e-6,
     (next_iterate, cost); the best-iterate acceptance trades off the
     fixed-point residual against the cost — accept when the residual
     improves, when still in warmup, or when the cost improves and the
-    residual is within 1.3x of the best."""
+    residual is within 1.3x of the best.
+
+    `tol` is accepted for signature parity but IGNORED (fixed-iteration
+    jit; see `anderson`)."""
     orig_shape = x0.shape
     bsz = orig_shape[0]
     z0 = x0.reshape(bsz, -1)
@@ -207,7 +219,10 @@ def broyden(f, x0: Array, max_steps: int = 20, tol: float = 1e-5,
     """'Good Broyden' root-finder for g(z) = f(z) - z with a low-rank
     Sherman-Morrison inverse-Jacobian estimate (reference
     `fp_solvers.py:46-124`, einsum matvecs :16-43), fixed-iteration
-    with masked best-iterate tracking."""
+    with masked best-iterate tracking.
+
+    `tol` is accepted for signature parity but IGNORED (fixed-iteration
+    jit; see `anderson`)."""
     orig_shape = x0.shape
     bsz = orig_shape[0]
     z0 = x0.reshape(bsz, -1)

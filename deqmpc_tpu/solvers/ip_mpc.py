@@ -29,16 +29,58 @@ class IPMPC:
                  dyn: Callable = None, dyn_jac: Callable = None,
                  qp_iter: int = 1, ipm_iters: int = 18,
                  elastic: bool = False, elastic_mu: float = 10.0,
+                 eps: float = 1e-2, grad_method: str = "analytic",
+                 fd_eps: float = 1e-4,
                  dtype=jnp.float32):
         self.nx, self.nu, self.T = nx, nu, T
         self.n = nx + nu
         self.dtype = dtype
         self.qp_iter = qp_iter
         self.ipm_iters = ipm_iters
+        # SQP convergence threshold (`qp_wrapper.py:173,377`: break once
+        # the full step norm drops below eps). The reference's Python
+        # break becomes a per-sample masked freeze so the loop stays one
+        # compiled program.
+        self.eps = eps
         self.u_lower = jnp.asarray(u_lower, dtype)
         self.u_upper = jnp.asarray(u_upper, dtype)
         self.dyn = dyn
-        self.dyn_jac = dyn_jac
+        # Linearization method (`qp_wrapper.py:27-31` GradMethods
+        # ANALYTIC / AUTO_DIFF / FINITE_DIFF, dispatch :466-581):
+        #   analytic    — the caller-supplied dyn_jac (env analytic jacs)
+        #   autodiff    — jacfwd of dyn per (sample, step)
+        #   finite_diff — central differences on dyn
+        if grad_method == "analytic":
+            if dyn_jac is None:
+                raise ValueError("grad_method='analytic' needs dyn_jac")
+            self.dyn_jac = dyn_jac
+        elif grad_method == "autodiff":
+            def _jac_auto(x, u):
+                def step1(xi, ui):
+                    return dyn(xi[None, None], ui[None, None])[0, 0]
+
+                xn = dyn(x, u)
+                Jx = jax.vmap(jax.vmap(jax.jacfwd(step1, argnums=0)))(x, u)
+                Ju = jax.vmap(jax.vmap(jax.jacfwd(step1, argnums=1)))(x, u)
+                return xn, jnp.concatenate([Jx, Ju], axis=-1)
+
+            self.dyn_jac = _jac_auto
+        elif grad_method == "finite_diff":
+            def _jac_fd(x, u):
+                xn = dyn(x, u)
+                n_in = x.shape[-1] + u.shape[-1]
+
+                def col(i):
+                    ex = jnp.zeros((n_in,), x.dtype).at[i].set(fd_eps)
+                    dx, du = ex[: x.shape[-1]], ex[x.shape[-1]:]
+                    return (dyn(x + dx, u + du) - dyn(x - dx, u - du)) / (2 * fd_eps)
+
+                cols = jax.vmap(col)(jnp.arange(n_in))  # (n, ..., nx)
+                return xn, jnp.moveaxis(cols, 0, -1)
+
+            self.dyn_jac = _jac_fd
+        else:
+            raise ValueError(f"unknown grad_method {grad_method!r}")
         self.nz = T * self.n
         self.ne = T * nx
         self.ni = 2 * nu * T
@@ -135,6 +177,13 @@ class IPMPC:
              else jnp.broadcast_to(x0[:, None], (bsz, T, nx)))
         u = (u_init.astype(dt) if u_init is not None
              else jnp.zeros((bsz, T, nu), dt))
+        # per-sample convergence freeze: the reference breaks its
+        # (no_grad) SQP loop once the u-step norm drops below eps
+        # (`qp_wrapper.py:360,377-379`) and then always runs one final
+        # differentiable QP (:382-387). Masked freezing of the non-final
+        # iterations reproduces that inside one compiled program; the
+        # final (differentiable) QP below runs for every sample.
+        frozen = jnp.zeros((bsz,), bool)
         for i in range(self.qp_iter):
             xc = lax.stop_gradient(x)
             uc = lax.stop_gradient(u)
@@ -165,6 +214,14 @@ class IPMPC:
                 lax.stop_gradient(cands_x), lax.stop_gradient(cands_u))
             bidx = jnp.argmin(merits, axis=0)
             ar = jnp.arange(bsz)
-            x = cands_x[bidx, ar]
-            u = cands_u[bidx, ar]
+            x_sel = cands_x[bidx, ar]
+            u_sel = cands_u[bidx, ar]
+            if last:
+                x, u = x_sel, u_sel
+            else:
+                x = jnp.where(frozen[:, None, None], xc, x_sel)
+                u = jnp.where(frozen[:, None, None], uc, u_sel)
+                du_norm = jnp.linalg.norm(
+                    (u_sel - uc).reshape(bsz, -1), axis=-1)
+                frozen = jnp.logical_or(frozen, du_norm < self.eps)
         return x, u

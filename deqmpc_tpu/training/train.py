@@ -48,7 +48,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--T", type=int, default=5)
     p.add_argument("--H", type=int, default=1)
     p.add_argument("--qp_iter", type=int, default=1)
-    p.add_argument("--eps", type=float, default=1e-2)
+    p.add_argument("--eps", type=float, default=1e-2,
+                   help="IP/SQP path per-sample convergence threshold "
+                        "(`qp_wrapper.py:173,377`); only used with "
+                        "--solver_type ip")
+    p.add_argument("--ip_grad_method", type=str, default="analytic",
+                   choices=["analytic", "autodiff", "finite_diff"],
+                   help="IP-path dynamics linearization "
+                        "(`qp_wrapper.py:27-31` GradMethods)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--lr_schedule", type=str, default="constant",
                    choices=["constant", "cosine"])
@@ -60,19 +67,29 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--name", type=str, default=None)
     p.add_argument("--save", action="store_true")
-    p.add_argument("--test", action="store_true")
+    # the reference also parses `--test` (train.py:53) and `--pooling`
+    # (:60), but neither is ever read (`pooling` is assigned to a
+    # never-called `global_pooling` table, `deq_layer.py:202-206`);
+    # dead flags are intentionally not reproduced
     p.add_argument("--layer_type", type=str, default="gcn")
     p.add_argument("--kernel_width", type=int, default=3)
-    p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--pretrain", action="store_true",
+                   help="network-only ('deq'-mode) supervision for the "
+                        "first 5000 steps (`train.py:310-312` "
+                        "pretrain_done gating)")
     p.add_argument("--model_type", type=str, default="deq-mpc-deq",
                    choices=["deq-mpc-deq", "deq", "nn", "diff-mpc-deq",
                             "diff-mpc-nn", "deq-mpc-nn"])
     p.add_argument("--lastqp_solve", action="store_true")
     p.add_argument("--qp_solve", action="store_true")
-    p.add_argument("--pooling", type=str, default="sum")
     p.add_argument("--solver_type", type=str, default="al")
     p.add_argument("--dtype", type=str, default="float32",
                    help="solver dtype; 'double' needs CPU or jax_enable_x64")
+    # data-noise augmentation (`train.py:67-70`; types in
+    # `deqmpc_tpu/data/noise_utils.py`)
+    p.add_argument("--data_noise_type", type=int, default=0)
+    p.add_argument("--data_noise_std", type=float, default=0.05)
+    p.add_argument("--data_noise_mean", type=float, default=0.3)
     p.add_argument("--deq_out_type", type=int, default=1)
     p.add_argument("--policy_out_type", type=int, default=1)
     p.add_argument("--loss_type", type=str, default="l1")
@@ -104,7 +121,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--streaming_start_iter", type=int, default=0)
     p.add_argument("--deq_type", type=str, default="deq", choices=["deq", "nn"])
     p.add_argument("--policy_variant", type=str, default="base",
-                   choices=["base", "mem", "history", "estpred", "feedback", "q"],
+                   choices=["base", "mem", "history", "estpred", "feedback",
+                            "q", "delta"],
                    help="DEQ-MPC policy variant (the reference selects the "
                         "class in code, `policies.py:283-504`)")
     p.add_argument("--Qscale", type=float, default=1.0)
@@ -171,6 +189,8 @@ def build_policy(args, env, obstacles=None):
         al_iter=2, solver_dtype=solver_dtype,
         rho_init_max=args.rho_init_max, rho_max=rho_max,
         solver_type=args.solver_type, qp_iter=args.qp_iter,
+        ip_eps=args.eps,
+        ip_grad_method=getattr(args, "ip_grad_method", "analytic"),
         linearize_once=getattr(args, "linearize_once", False),
         recompute_Qq=getattr(args, "recompute_Qq", False),
     )
@@ -180,7 +200,8 @@ def build_policy(args, env, obstacles=None):
     if getattr(args, "addmem", False):
         variant = "mem"
     if variant != "base":
-        from ..policies.policy_variants import (DEQMPCPolicyFeedback,
+        from ..policies.policy_variants import (DEQMPCPolicyDelta,
+                                                DEQMPCPolicyFeedback,
                                                 DEQMPCPolicyHistory,
                                                 DEQMPCPolicyHistoryEstPred,
                                                 DEQMPCPolicyMem,
@@ -188,6 +209,8 @@ def build_policy(args, env, obstacles=None):
 
         if variant == "mem":
             return DEQMPCPolicyMem(cfg, env, obstacles=obstacles)
+        if variant == "delta":
+            return DEQMPCPolicyDelta(cfg, env, obstacles=obstacles)
         if variant == "history":
             return DEQMPCPolicyHistory(cfg, env, H=args.H, obstacles=obstacles)
         if variant == "estpred":
@@ -236,10 +259,18 @@ def preprocess_batch(env_name, nx, batch):
     return batch
 
 
-def make_train_step(policy, optimizer, args):
-    """One jitted training step (`global_fwd` + backward + Adam)."""
+def make_train_step(policy, optimizer, args, pretrain: bool = False):
+    """One jitted training step (`global_fwd` + backward + Adam).
 
-    qp_solve, lastqp_solve = args.qp_solve, args.lastqp_solve
+    pretrain=True builds the network-only phase step: the forward skips
+    every AL solve (the reference's `pretrain_done=False` runs the
+    policy in 'deq' mode for the first 5000 steps, `train.py:310-312`),
+    so supervision lands on the raw network trajectories."""
+
+    if pretrain:
+        qp_solve, lastqp_solve = False, False
+    else:
+        qp_solve, lastqp_solve = args.qp_solve, args.lastqp_solve
 
     def loss_fn(params, batch, coeffs):
         if getattr(policy, "takes_history", False):
@@ -270,6 +301,14 @@ def make_train_step(policy, optimizer, args):
                ("loss_end", "losses_iter", "losses_iter_opt", "losses_iter_nn")}
         if "losses_x_ests" in d:
             aux["losses_x_ests"] = d["losses_x_ests"]
+        if getattr(policy, "is_delta", False):
+            # Delta variant: the trainer EMA-updates the output scales
+            # from the per-iteration optimizer trajectories
+            # (`update_scales` consumes `trajs[i][1]`,
+            # `deq_layer_utils.py:55-63`)
+            aux["opt_states"] = jnp.stack(
+                [t[1] for t in policy_out["trajs"]])
+            aux["init_states"] = policy_out["init_states"]
         if "deq_stats" in policy_out:
             aux["deq_fwd_err"] = policy_out["deq_stats"]["fwd_err"]
             aux["deq_fwd_steps"] = policy_out["deq_stats"]["fwd_steps"]
@@ -548,12 +587,20 @@ def main(argv=None):
         return stats
 
     streaming_active = bool(args.streaming and args.streaming_start_iter == 0)
+    # pretrain gating (`train.py:310-312`): network-only supervision
+    # until step 5000, then swap in the full deq-mpc step (a second
+    # jitted program, same pattern as the streaming switch below)
+    PRETRAIN_STEPS = 5000
+    pretrain_active = bool(args.pretrain and not streaming_active
+                           and args.start_iter + 1 < PRETRAIN_STEPS)
     if streaming_active:
         train_step, loss_fn = make_streaming_train_step(policy, optimizer, args)
     else:
-        train_step, loss_fn = make_train_step(policy, optimizer, args)
+        train_step, loss_fn = make_train_step(policy, optimizer, args,
+                                              pretrain=pretrain_active)
 
     coeffs = jnp.ones((args.deq_iter, 3))
+    _scales_update = None  # lazily jitted Delta-variant EMA
     best_val = np.inf
     losses, losses_end = [], []
     t_window = time.time()
@@ -561,13 +608,38 @@ def main(argv=None):
         if (args.streaming and not streaming_active
                 and i > args.streaming_start_iter):
             streaming_active = True
+            pretrain_active = False
             train_step, loss_fn = make_streaming_train_step(policy, optimizer, args)
+        elif pretrain_active and i >= PRETRAIN_STEPS:
+            pretrain_active = False
+            train_step, loss_fn = make_train_step(policy, optimizer, args)
+            # the two phases' val losses aren't comparable — restart the
+            # best-checkpoint tracking for the deq-mpc phase
+            best_val = np.inf
+            print(f"[{i}] pretrain done: switching deq -> deqmpc")
         batch = sample_trajectory(gt, args.bsz, args.H, horizon_T, rng_np)
         batch = preprocess_batch(args.env, env.nx, batch)
+        if args.data_noise_type:
+            from ..data.noise_utils import add_data_noise
+
+            batch = add_data_noise(batch, args.data_noise_type,
+                                   args.data_noise_std,
+                                   args.data_noise_mean, rng_np)
+            batch.pop("state_noisy", None)  # targets stay clean
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         params, opt_state, loss, aux, gnorm = train_step(
             params, opt_state, batch, coeffs
         )
+        if getattr(policy, "is_delta", False) and "opt_states" in aux:
+            if _scales_update is None:
+                from ..models.grad_layers import update_scales
+
+                _scales_update = jax.jit(
+                    lambda s, tr, gt, init: update_scales(
+                        s, list(tr), gt, init))
+            params["scales"] = _scales_update(
+                params["scales"], aux["opt_states"], batch["state"],
+                aux["init_states"])
         # keep loss/aux as device arrays between validations: a float()
         # here forces a per-step device sync (~2 RPCs/step through the
         # TPU tunnel); the NaN check only needs to run at val cadence

@@ -186,3 +186,72 @@ def test_qp_single_instance():
     sol_nf = qp_solve_single(Q[0], p[0], G[0], h[0])
     assert sol_nf.z.shape == (Q.shape[1],)
     assert bool(jnp.all(jnp.isfinite(sol_nf.z)))
+
+
+def test_ip_grad_methods_agree():
+    """GradMethods parity (`qp_wrapper.py:27-31,466-581`): the autodiff
+    and finite-difference linearizations must reproduce the analytic
+    SQP solution."""
+    rng = np.random.default_rng(7)
+    bsz, T = 3, 4
+    from deqmpc_tpu.envs import PendulumEnv
+
+    env = PendulumEnv()
+    nx, nu = env.nx, env.nu
+
+    def dyn_jac(x, u):
+        xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+        return xn, jnp.concatenate([Jx, Ju], -1)
+
+    x0 = jnp.asarray(rng.uniform(-1, 1, (bsz, nx)))
+    x_ref = jnp.tile(jnp.asarray([np.pi, 0.0]), (bsz, T, 1))
+    Qd = jnp.tile(jnp.asarray(np.concatenate([env.Qlqr, env.Rlqr])), (bsz, T, 1))
+    q = -Qd * jnp.concatenate([x_ref, jnp.zeros((bsz, T, nu))], -1)
+    cost = QuadCost(Q=Qd, q=q, f=jnp.zeros((bsz, T)))
+    kw = dict(u_lower=env.action_space.low, u_upper=env.action_space.high,
+              dyn=env.dynamics, qp_iter=3, ipm_iters=25, dtype=jnp.float64)
+    x_an, u_an = IPMPC(nx, nu, T, dyn_jac=dyn_jac,
+                       grad_method="analytic", **kw).solve(x0, cost)
+    x_ad, u_ad = IPMPC(nx, nu, T, grad_method="autodiff", **kw).solve(x0, cost)
+    x_fd, u_fd = IPMPC(nx, nu, T, grad_method="finite_diff", **kw).solve(x0, cost)
+    np.testing.assert_allclose(np.asarray(u_ad), np.asarray(u_an),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(u_fd), np.asarray(u_an),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_ip_eps_freezes_converged_samples():
+    """--eps wiring (`qp_wrapper.py:173,377`): with a huge eps every
+    sample freezes after the first SQP iteration, so qp_iter=4 must
+    agree with qp_iter=1 up to the always-run final differentiable QP;
+    with eps=0 extra iterations refine the solution."""
+    rng = np.random.default_rng(11)
+    bsz, T = 3, 4
+    from deqmpc_tpu.envs import PendulumEnv
+
+    env = PendulumEnv()
+    nx, nu = env.nx, env.nu
+
+    def dyn_jac(x, u):
+        xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+        return xn, jnp.concatenate([Jx, Ju], -1)
+
+    x0 = jnp.asarray(rng.uniform(-1, 1, (bsz, nx)))
+    x_ref = jnp.tile(jnp.asarray([np.pi, 0.0]), (bsz, T, 1))
+    Qd = jnp.tile(jnp.asarray(np.concatenate([env.Qlqr, env.Rlqr])), (bsz, T, 1))
+    q = -Qd * jnp.concatenate([x_ref, jnp.zeros((bsz, T, nu))], -1)
+    cost = QuadCost(Q=Qd, q=q, f=jnp.zeros((bsz, T)))
+    kw = dict(u_lower=env.action_space.low, u_upper=env.action_space.high,
+              dyn=env.dynamics, dyn_jac=dyn_jac, ipm_iters=25,
+              dtype=jnp.float64)
+    # frozen after iter 1 -> iterate entering the final QP equals the
+    # qp_iter=2 state entering ITS final QP
+    x_a, u_a = IPMPC(nx, nu, T, qp_iter=4, eps=1e9, **kw).solve(x0, cost)
+    x_b, u_b = IPMPC(nx, nu, T, qp_iter=2, eps=1e9, **kw).solve(x0, cost)
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b),
+                               rtol=1e-9, atol=1e-11)
+    # eps=0 never freezes: more iterations shrink the dynamics defect
+    x_c, u_c = IPMPC(nx, nu, T, qp_iter=4, eps=0.0, **kw).solve(x0, cost)
+    def defect(x, u):
+        return float(jnp.max(jnp.abs(x[:, 1:] - env.dynamics(x[:, :-1], u[:, :-1]))))
+    assert defect(x_c, u_c) <= defect(x_b, u_b) + 1e-8

@@ -126,3 +126,38 @@ def test_delta_layer():
            "z": layer.init_z(BSZ), "iter": 1}
     out_mpc, out_aux = layer(params, {"o": obs}, aux)
     assert out_mpc["x_ref"].shape == (BSZ, T, 2)
+
+
+def test_delta_policy():
+    """`--policy_variant delta` end-to-end: forward, gradients, and the
+    trainer's update_scales EMA on the optimizer trajectories
+    (reference `policies.py:92` + `deq_layer_utils.py:55-63`)."""
+    from deqmpc_tpu.models.grad_layers import update_scales
+    from deqmpc_tpu.policies.policy_variants import DEQMPCPolicyDelta
+
+    policy = DEQMPCPolicyDelta(_cfg(), ENV)
+    assert policy.is_delta
+    params = policy.init(jax.random.PRNGKey(0))
+    assert params["scales"].shape == (2, T - 1, ENV.nx)
+    obs, gt_s, gt_a, mask = _batch(5)
+    po, carry = policy.forward(params, obs)
+    assert len(po["trajs"]) == 2
+    _grad_check(policy, params, lambda p: policy.forward(p, obs),
+                (gt_s, gt_a, mask))
+    # scales receive gradient (reference ScaleMultiplyLayer backward
+    # returns grad_output * input for the scale, deq_layer_utils.py:53)
+    def loss_fn(p):
+        pol_out, _ = policy.forward(p, obs)
+        return compute_loss_deqmpc(policy, gt_s, gt_a, mask, pol_out)["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    assert float(jnp.linalg.norm(grads["scales"])) > 0
+    # trainer-side EMA: scale row 0 tracks |gt - init| medians
+    opt_states = jnp.stack([t[1] for t in po["trajs"]])
+    new_scales = update_scales(params["scales"], list(opt_states), gt_s,
+                               po["init_states"])
+    assert new_scales.shape == params["scales"].shape
+    err0 = jnp.median(jnp.abs(gt_s[:, 1:] - po["init_states"][:, 1:]), axis=0)
+    np.testing.assert_allclose(
+        np.asarray(new_scales[0]),
+        np.asarray(params["scales"][0] * 0.98 + 0.02 * err0), rtol=1e-5)
