@@ -15,14 +15,15 @@ Usage:
     train_step = jax.jit(step, in_shardings=..., out_shardings=...)
 """
 from .mesh import (batch_sharding, initialize_multihost, make_mesh,
-                   replicate, replicated_sharding, shard_batch,
-                   shard_batch_local)
+                   replicate, replicate_local, replicated_sharding,
+                   shard_batch, shard_batch_local)
 
 __all__ = [
     "batch_sharding",
     "initialize_multihost",
     "make_mesh",
     "replicate",
+    "replicate_local",
     "replicated_sharding",
     "shard_batch",
     "shard_batch_local",

@@ -72,6 +72,19 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     return jax.process_count()
 
 
+def replicate_local(tree, mesh: Mesh):
+    """Multi-host parameter replication: every process holds an
+    identical full copy (e.g. same PRNG init) and contributes it as the
+    replicated global array. Single-process, equivalent to `replicate`."""
+
+    def put(x):
+        return jax.make_array_from_process_local_data(
+            replicated_sharding(mesh), np.asarray(x)
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def shard_batch_local(batch, mesh: Mesh, axis_name: str = "data"):
     """Multi-host batch feeding: each process passes its LOCAL shard of
     the global batch (shape (global_bsz / process_count, ...)); returns
