@@ -30,7 +30,7 @@ class IPMPC:
                  qp_iter: int = 1, ipm_iters: int = 18,
                  elastic: bool = False, elastic_mu: float = 10.0,
                  eps: float = 1e-2, grad_method: str = "analytic",
-                 fd_eps: float = 1e-4,
+                 fd_eps: float = 1e-4, lindx=None,
                  dtype=jnp.float32):
         self.nx, self.nu, self.T = nx, nu, T
         self.n = nx + nu
@@ -45,6 +45,11 @@ class IPMPC:
         self.u_lower = jnp.asarray(u_lower, dtype)
         self.u_upper = jnp.asarray(u_upper, dtype)
         self.dyn = dyn
+        # Time-varying linear dynamics (reference `LinDx` rollout branch,
+        # `qp_wrapper.py:586-590`): the LinDx dyn callable is
+        # time-batched (needs the full (bsz, T-1, .) trajectory), so the
+        # per-step rollout scans over (F_t, f_t) instead.
+        self.lindx = lindx
         # Linearization method (`qp_wrapper.py:27-31` GradMethods
         # ANALYTIC / AUTO_DIFF / FINITE_DIFF, dispatch :466-581):
         #   analytic    — the caller-supplied dyn_jac (env analytic jacs)
@@ -164,64 +169,124 @@ class IPMPC:
             out = out.at[:, t * n : (t + 1) * n, t * n : (t + 1) * n].set(Qd[:, t])
         return out
 
+    def _rollout(self, x0: Array, u: Array) -> Array:
+        """Roll the true dynamics under a control sequence
+        (`qp_wrapper.py:583-597`). lax.scan over the horizon; leading
+        axes of x0/u may carry (candidates, batch)."""
+
+        if self.lindx is not None:
+            F, f = self.lindx.F, self.lindx.f  # (bsz, T-1, nx, n/.)
+
+            def step_lin(x, Ff_ut):
+                Ft, ft, ut = Ff_ut
+                xu = jnp.concatenate([x, ut], axis=-1)
+                xn = jnp.einsum("...ij,...j->...i", Ft, xu) + ft
+                return xn, xn
+
+            _, xs = lax.scan(
+                step_lin, x0,
+                (jnp.moveaxis(F, -3, 0), jnp.moveaxis(f, -2, 0),
+                 jnp.moveaxis(u[..., :-1, :], -2, 0)))
+        else:
+            def step(x, ut):
+                xn = self.dyn(x, ut)
+                return xn, xn
+
+            _, xs = lax.scan(step, x0, jnp.moveaxis(u[..., :-1, :], -2, 0))
+        xs = jnp.moveaxis(xs, 0, -2)
+        return jnp.concatenate([x0[..., None, :], xs], axis=-2)
+
+    def _cost_of(self, x: Array, u: Array, cost: QuadCost) -> Array:
+        """0.5 tau'diag(Q)tau + q'tau summed over the horizon
+        (`qp_wrapper.py:655-658` compute_cost)."""
+        tau = jnp.concatenate([x, u], axis=-1)
+        return jnp.sum(0.5 * cost.Q * tau * tau + cost.q * tau, axis=(-2, -1))
+
+    def _line_search(self, xc, uc, x_new, u_new, x0, cost):
+        """The reference's rollout-based cost-decrease backtracking
+        (`qp_wrapper.py:402-421`): alpha starts at 1 and decays by 0.2
+        per non-improving sample, up to 10 trials. TPU-natively all 10
+        candidates are evaluated in ONE batched rollout and each sample
+        picks its largest improving alpha (= what the sequential decay
+        loop converges to); if none improve, the smallest alpha is
+        taken, mirroring the loop ending at max_linesearch_iter."""
+        dt = self.dtype
+        K = 10
+        alphas = 0.2 ** jnp.arange(K, dtype=dt)  # `linesearch_decay=0.2`
+        cost0 = self._cost_of(xc, uc, cost)
+        cands_u = uc[None] + alphas[:, None, None, None] * (u_new - uc)[None]
+        bsz = xc.shape[0]
+        cands_x = self._rollout(
+            jnp.broadcast_to(x0, (K,) + x0.shape), cands_u)
+        costs = self._cost_of(cands_x, cands_u, cost)  # (K, bsz)
+        improves = costs < cost0[None]
+        # first (largest-alpha) improving candidate, else the last one
+        first = jnp.argmax(improves, axis=0)
+        kidx = jnp.where(jnp.any(improves, axis=0), first, K - 1)
+        ar = jnp.arange(bsz)
+        alpha = alphas[kidx]
+        return (cands_x[kidx, ar], cands_u[kidx, ar], alpha[:, None, None],
+                costs[kidx, ar])
+
     def solve(self, x0: Array, cost: QuadCost,
               x_init: Optional[Array] = None,
               u_init: Optional[Array] = None) -> Tuple[Array, Array]:
         """SQP loop; returns (x, u). Differentiable through the final
-        QP via the implicit qp_layer."""
+        QP via the implicit qp_layer.
+
+        Structure mirrors `qp_wrapper.py:346-388` solve_nonlin: no-grad
+        SQP iterations whose state is the line search's ROLLOUT (so the
+        linearization point stays dynamically feasible), per-sample
+        best-cost tracking, then one final differentiable QP whose step
+        is the alpha-interpolation x + alpha*delta (affine in the
+        qp_layer output, so gradients flow). qp_iter=1 is the
+        reference's single_qp_ls training path (`qp_wrapper.py:391`)."""
         bsz = x0.shape[0]
         T, nx, nu, n = self.T, self.nx, self.nu, self.n
         dt = self.dtype
         x0 = x0.astype(dt)
-        x = (x_init.astype(dt) if x_init is not None
-             else jnp.broadcast_to(x0[:, None], (bsz, T, nx)))
         u = (u_init.astype(dt) if u_init is not None
              else jnp.zeros((bsz, T, nu), dt))
+        # reference default: x = rollout(x0, u) when x_init is absent
+        # (`qp_wrapper.py:270-276`)
+        x = x_init.astype(dt) if x_init is not None else self._rollout(x0, u)
         # per-sample convergence freeze: the reference breaks its
         # (no_grad) SQP loop once the u-step norm drops below eps
-        # (`qp_wrapper.py:360,377-379`) and then always runs one final
-        # differentiable QP (:382-387). Masked freezing of the non-final
-        # iterations reproduces that inside one compiled program; the
-        # final (differentiable) QP below runs for every sample.
+        # (`qp_wrapper.py:360,377-379`). Masked freezing reproduces
+        # that inside one compiled program.
         frozen = jnp.zeros((bsz,), bool)
-        for i in range(self.qp_iter):
+        best_x, best_u = x, u
+        best_cost = self._cost_of(x, u, cost)
+        for i in range(self.qp_iter - 1):
             xc = lax.stop_gradient(x)
             uc = lax.stop_gradient(u)
             Q, p, G, h, A, b = self._assemble(xc, uc, x0, cost)
-            last = i == self.qp_iter - 1
-            if last:
-                z = qp_layer(Q, p, G, h, A, b, self.ipm_iters)
-            else:
-                z = qp_solve(Q, p, G, h, A, b, self.ipm_iters).z
+            z = qp_solve(Q, p, G, h, A, b, self.ipm_iters).z
             tau = z[:, : self.nz].reshape(bsz, T, n)
             x_new, u_new = tau[..., :nx], tau[..., nx:]
-            # merit line search on the true dynamics defect, EVERY
-            # iteration (`qp_wrapper.py:402-421` rollout-based
-            # backtracking). On the last (differentiable) QP the step
-            # interpolation keeps the qp_layer gradient path: the
-            # argmin index is a stop-grad choice, x stays affine in
-            # x_new. Taking the raw final step instead leaves a large
-            # defect whenever the SQP has not fully converged
-            # (measured: defect 0.47 raw vs 5e-11 searched at iter 5).
-            def defect(xx, uu):
-                d = xx[:, 1:] - self.dyn(xx[:, :-1], uu[:, :-1])
-                return jnp.sum(d * d, axis=(1, 2))
-
-            alphas = 2.0 ** (-jnp.arange(8, dtype=dt))
-            cands_x = xc[None] + alphas[:, None, None, None] * (x_new - xc)[None]
-            cands_u = uc[None] + alphas[:, None, None, None] * (u_new - uc)[None]
-            merits = jax.vmap(defect)(
-                lax.stop_gradient(cands_x), lax.stop_gradient(cands_u))
-            bidx = jnp.argmin(merits, axis=0)
-            ar = jnp.arange(bsz)
-            x_sel = cands_x[bidx, ar]
-            u_sel = cands_u[bidx, ar]
-            if last:
-                x, u = x_sel, u_sel
-            else:
-                x = jnp.where(frozen[:, None, None], xc, x_sel)
-                u = jnp.where(frozen[:, None, None], uc, u_sel)
-                du_norm = jnp.linalg.norm(
-                    (u_sel - uc).reshape(bsz, -1), axis=-1)
-                frozen = jnp.logical_or(frozen, du_norm < self.eps)
+            x_ls, u_ls, _, cost_ls = self._line_search(
+                xc, uc, x_new, u_new, x0, cost)
+            x = jnp.where(frozen[:, None, None], xc, x_ls)
+            u = jnp.where(frozen[:, None, None], uc, u_ls)
+            # best-iterate tracking (`qp_wrapper.py:362-375`)
+            better = cost_ls <= best_cost + 1e-4  # `best_cost_eps`
+            take = jnp.logical_and(better, ~frozen)[:, None, None]
+            best_x = jnp.where(take, x_ls, best_x)
+            best_u = jnp.where(take, u_ls, best_u)
+            best_cost = jnp.where(take[:, 0, 0], cost_ls, best_cost)
+            du_norm = jnp.linalg.norm((u_ls - uc).reshape(bsz, -1), axis=-1)
+            frozen = jnp.logical_or(frozen, du_norm < self.eps)
+        # final differentiable QP from the best iterate
+        # (`qp_wrapper.py:382-387` / single_qp_ls :391-400)
+        xc = lax.stop_gradient(best_x)
+        uc = lax.stop_gradient(best_u)
+        Q, p, G, h, A, b = self._assemble(xc, uc, x0, cost)
+        z = qp_layer(Q, p, G, h, A, b, self.ipm_iters)
+        tau = z[:, : self.nz].reshape(bsz, T, n)
+        x_new, u_new = tau[..., :nx], tau[..., nx:]
+        _, _, alpha, _ = self._line_search(
+            xc, uc, lax.stop_gradient(x_new), lax.stop_gradient(u_new),
+            x0, cost)
+        x = xc + alpha * (x_new - xc)
+        u = uc + alpha * (u_new - uc)
         return x, u

@@ -75,14 +75,15 @@ def test_ip_mpc_matches_al_on_lq():
     B_ = jnp.asarray(0.5 * rng.normal(size=(bsz, T - 1, nx, nu)))
     F = jnp.concatenate([A_, B_], axis=-1)
     f = jnp.asarray(0.1 * rng.normal(size=(bsz, T - 1, nx)))
-    dyn, dyn_jac = lin_dyn_fns(LinDx(F=F, f=f))
+    lindx = LinDx(F=F, f=f)
+    dyn, dyn_jac = lin_dyn_fns(lindx)
     Qd = jnp.asarray(rng.uniform(0.5, 2.0, size=(bsz, T, n)))
     q = jnp.asarray(rng.normal(size=(bsz, T, n)))
     x0 = jnp.asarray(rng.normal(size=(bsz, nx)))
     cost = QuadCost(Q=Qd, q=q, f=jnp.zeros((bsz, T)))
 
     ip = IPMPC(nx, nu, T, u_lower=-1e3 * np.ones(nu), u_upper=1e3 * np.ones(nu),
-               dyn=dyn, dyn_jac=dyn_jac, qp_iter=1, ipm_iters=30,
+               dyn=dyn, dyn_jac=dyn_jac, lindx=lindx, qp_iter=1, ipm_iters=30,
                dtype=jnp.float64)
     x_ip, u_ip = ip.solve(x0, cost)
 

@@ -247,3 +247,133 @@ def test_streaming_warm_solve_match_and_rho_exit(ref_qpth):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(xs2), x_t.double().numpy(),
                                atol=1e-3)
+
+
+def test_ip_sqp_control_sequence_match(ref_qpth):
+    """IP/SQP-path parity (`/root/reference/qpth/qp_wrapper.py:210-293`):
+    drive the reference's interior-point MPC (DenseQPFunction with
+    nonlinear residuals inside the IPM) read-only as an oracle on the
+    pendulum and compare against our IPMPC SQP loop run to convergence.
+    Both solve the same box-constrained NLP; at convergence the control
+    sequences must agree within the BASELINE tolerance."""
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import qpth.qp_wrapper as ip_mpc
+    from qpth import qp  # noqa: F401  (DenseQPFunction path)
+
+    from deqmpc_tpu.envs import PendulumEnv
+    from deqmpc_tpu.solvers.ip_mpc import IPMPC
+    from deqmpc_tpu.solvers.types import QuadCost as OurQuadCost
+
+    import jax
+    import jax.numpy as jnp
+
+    env = PendulumEnv()
+    bsz, T = 4, 5
+    rng = np.random.default_rng(3)
+    th = rng.uniform(-1.5, 1.5, (bsz, 1))
+    thdot = rng.uniform(-1.0, 1.0, (bsz, 1))
+    x0 = np.concatenate([th, thdot], axis=-1)
+    x_ref = np.broadcast_to(
+        np.asarray(env.targ_pos, np.float64), (bsz, T, env.nx)).copy()
+    u_ref = np.zeros((bsz, T, env.nu))
+    Qd = np.concatenate([np.asarray(env.Qlqr), np.asarray(env.Rlqr)])
+    xu_ref = np.concatenate([x_ref, u_ref], axis=-1)
+
+    # shared initialization: u = 0, x = rollout(x0, 0) (the reference's
+    # default when x_init is None, `qp_wrapper.py:272`)
+    dyn = jax.jit(env.dynamics)
+    xs = [jnp.asarray(x0)]
+    for t in range(T - 1):
+        xs.append(dyn(xs[-1], jnp.zeros((bsz, env.nu))))
+    x_init = np.asarray(jnp.stack(xs, axis=1))
+
+    # ---- ours: SQP around the batched PDIPM, run to convergence
+    def our_dyn_jac(x, u):
+        xn, (Jx, Ju) = env.dynamics_derivatives(x, u)
+        return xn, jnp.concatenate([Jx, Ju], axis=-1)
+
+    mpc = IPMPC(env.nx, env.nu, T,
+                u_lower=np.asarray(env.action_space.low),
+                u_upper=np.asarray(env.action_space.high),
+                dyn=env.dynamics, dyn_jac=our_dyn_jac,
+                qp_iter=10, ipm_iters=25, eps=1e-6, dtype=jnp.float64)
+    cost = OurQuadCost(
+        Q=jnp.asarray(np.broadcast_to(Qd, (bsz, T, env.nx + env.nu))),
+        q=jnp.asarray(-Qd * xu_ref),
+        f=jnp.zeros((bsz, T)),
+    )
+    xs_ours, us_ours = mpc.solve(
+        jnp.asarray(x0), cost,
+        x_init=jnp.asarray(x_init),
+        u_init=jnp.asarray(u_ref))
+    xs_ours, us_ours = np.asarray(xs_ours), np.asarray(us_ours)
+
+    # ---- reference: qp_wrapper.MPC, solve_nonlin to convergence
+    dt = torch.float64
+    dx, dx_jac = _torch_bridge(env)
+    ref = ip_mpc.MPC(
+        env.nx, env.nu, T,
+        u_lower=torch.tensor(np.asarray(env.action_space.low), dtype=dt),
+        u_upper=torch.tensor(np.asarray(env.action_space.high), dtype=dt),
+        qp_iter=10, eps=1e-6, n_batch=bsz, backprop=False, verbose=-1,
+        exit_unconverged=False, detach_unconverged=False,
+        grad_method=ip_mpc.GradMethods.ANALYTIC, solver_type="dense",
+        single_qp_solve=False,
+        # .contiguous(): torch.tensor preserves the numpy transpose's
+        # strides here, and the reference's linearize_dynamics uses
+        # .view on u (`qp_wrapper.py:472`) which requires contiguity —
+        # the reference's own Tracking_MPC `u_init.transpose(0,1)`
+        # (`policies.py:1267`) would hit the same RuntimeError.
+        u_init=torch.tensor(
+            np.ascontiguousarray(u_ref.transpose(1, 0, 2)), dtype=dt),
+    )
+    C = torch.diag(torch.tensor(Qd, dtype=dt)).repeat(T, bsz, 1, 1)
+    c = torch.tensor(-Qd * xu_ref, dtype=dt).transpose(0, 1)
+    with torch.no_grad():
+        x_t, u_t = ref.forward(
+            torch.tensor(x0, dtype=dt),
+            ip_mpc.QuadCost(C, c), dx, dx_jac)
+    xs_ref = x_t.detach().numpy().transpose(1, 0, 2)
+    us_ref = u_t.detach().numpy().transpose(1, 0, 2)
+
+    assert np.isfinite(us_ref).all() and np.isfinite(us_ours).all()
+    np.testing.assert_allclose(us_ours, us_ref, atol=1e-3)
+    np.testing.assert_allclose(xs_ours, xs_ref, atol=1e-3)
+
+
+def test_lastqp_final_solve_match(ref_qpth):
+    """diff-mpc (lastqp) semantics parity (`policies.py:195-197`): the
+    single-shot variants skip the per-iteration solves and run one
+    final al_iters=10 tracking solve from the network's proposal. Feed
+    both implementations the SAME synthetic proposal (an interpolated
+    swing-up guess, standing in for the DEQ output) and compare the
+    final solve."""
+    import jax.numpy as jnp
+    import torch
+
+    AL_mpc, al_utils = ref_qpth
+    from deqmpc_tpu.envs import PendulumEnv
+    from deqmpc_tpu.policies.tracking_mpc import TrackingMPC
+
+    env = PendulumEnv()
+    bsz, T = 4, 5
+    rng = np.random.default_rng(4)
+    x0 = np.concatenate([rng.uniform(-2.0, 2.0, (bsz, 1)),
+                         rng.uniform(-1.0, 1.0, (bsz, 1))], axis=-1)
+    # synthetic network proposal: linear interpolation x0 -> goal plus
+    # noise, a plausible stand-in for a mid-training DEQ output
+    alpha = np.linspace(0, 1, T)[None, :, None]
+    x_prop = (1 - alpha) * x0[:, None] + alpha * np.asarray(env.targ_pos)
+    x_prop += rng.normal(scale=0.05, size=x_prop.shape)
+    u_prop = rng.normal(scale=0.1, size=(bsz, T, env.nu))
+
+    xs_ours, us_ours = _solve_ours(env, x0, x_prop, u_prop, al_iters=10)
+    xs_ref, us_ref = _solve_reference(ref_qpth, env, x0, x_prop, u_prop,
+                                      al_iters=10)
+
+    assert np.isfinite(us_ref).all() and np.isfinite(us_ours).all()
+    np.testing.assert_allclose(us_ours, us_ref, atol=1e-3)
+    np.testing.assert_allclose(xs_ours, xs_ref, atol=1e-3)
