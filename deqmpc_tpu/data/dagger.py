@@ -96,7 +96,12 @@ def main(argv=None):
                    help="MPC-teacher horizon (cartpole/quadrotor)")
     p.add_argument("--al_iters", type=int, default=8)
     p.add_argument("--dagger_noise_std", type=float, default=0.1)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env var is too late — "
+                        "the harness pre-imports jax; see expert_gen)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     args = apply_model_type_presets(args)
 
     env = make_env(args.env)

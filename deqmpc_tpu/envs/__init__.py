@@ -42,4 +42,14 @@ def make_env(name: str, **kwargs):
         return FlyingCartpole(**kwargs)
     if name == "flyingcartpole_obstacles":
         return FlyingCartpole(obstacles=True, **kwargs)
+    if name == "flyingcartpole_obstacles_dense":
+        # discriminating obstacle field: at the default density (40
+        # spheres r=0.25 in the 10 m box) a straight crossing hits an
+        # obstacle with p~4%, so constrained-vs-blind comparisons are
+        # statistically flat at any reasonable episode count. 160
+        # spheres at r=0.4 raise the blind line-hit rate to ~40%,
+        # which n=256 episodes resolves cleanly.
+        kwargs.setdefault("n_obstacles", 160)
+        kwargs.setdefault("obstacle_radius", 0.4)
+        return FlyingCartpole(obstacles=True, **kwargs)
     raise ValueError(f"unknown env: {name}")

@@ -43,7 +43,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--env", type=str, default="pendulum",
                    choices=["pendulum", "pendulum_stabilize", "integrator",
                             "cartpole1link", "cartpole2link", "rexquadrotor",
-                            "FlyingCartpole", "FlyingCartpole_obstacles"])
+                            "FlyingCartpole", "FlyingCartpole_obstacles",
+                            "FlyingCartpole_obstacles_dense"])
     p.add_argument("--nq", type=int, default=-1)
     p.add_argument("--T", type=int, default=5)
     p.add_argument("--H", type=int, default=1)
@@ -136,6 +137,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="closed-loop eval episode length; default "
                         "env._max_episode_steps")
     p.add_argument("--eval_episodes", type=int, default=32)
+    p.add_argument("--eval_warm_start", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="closed-loop eval forward mode: 'on' = warm-"
+                        "started receding-horizon steps, 'off' = cold "
+                        "start per step, 'auto' = warm iff --streaming "
+                        "(the reference eval interface passes warm_start "
+                        "explicitly, train.py:258-263)")
     p.add_argument("--eval_x_window", type=str, default=None,
                    help="comma-separated per-dim reset half-widths "
                         "(euler-space) overriding env.x_window for eval "
@@ -580,9 +588,10 @@ def main(argv=None):
     if args.eval:
         from .eval import eval_policy
 
+        ws = {"auto": None, "on": True, "off": False}[args.eval_warm_start]
         stats = eval_policy(args, env, policy, params, gt,
                             n_episodes=args.eval_episodes,
-                            ep_len=args.eval_ep_len)
+                            ep_len=args.eval_ep_len, warm_start=ws)
         print(json.dumps(stats, indent=2))
         return stats
 

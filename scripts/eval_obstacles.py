@@ -58,26 +58,43 @@ def rollout_stats(env, policy, params, n, ep_len, seed=0):
     succ = (np.sqrt(ang**2 + pos**2) < 0.25) & ok & ~collided
     return {
         "collision_rate": float(collided.mean()),
+        "collision_ci95": wilson_ci(int(collided.sum()), n),
         "success_rate": float(succ.mean()),
+        "success_ci95": wilson_ci(int(succ.sum()), n),
         "final_dist_mean": float(np.nanmean(np.sqrt(ang**2 + pos**2))),
+        "n_episodes": n,
         "n_nan": int((~ok).sum()),
     }
+
+
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial rate."""
+    if n == 0:
+        return [0.0, 1.0]
+    p = k / n
+    den = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / den
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    return [round(float(center - half), 4), round(float(center + half), 4)]
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt_obs", type=str, required=True)
     p.add_argument("--ckpt_plain", type=str, default=None)
-    p.add_argument("--episodes", type=int, default=64)
+    p.add_argument("--episodes", type=int, default=512)
     p.add_argument("--ep_len", type=int, default=360)
     p.add_argument("--model_type", type=str, default="deq-mpc-nn")
+    p.add_argument("--env", type=str, default="FlyingCartpole_obstacles",
+                   help="obstacle env spec; FlyingCartpole_obstacles_dense "
+                        "is the discriminating field (160 spheres r=0.4)")
     args = p.parse_args()
 
-    env = make_env("FlyingCartpole_obstacles")
+    env = make_env(args.env)
     obstacles = ObstacleSet(centers=jnp.asarray(env.obstacle_positions),
                             radius=float(env.obstacle_radius))
     targs = build_argparser().parse_args(
-        f"--env FlyingCartpole_obstacles --model_type {args.model_type} "
+        f"--env {args.env} --model_type {args.model_type} "
         "--T 5 --deq_iter 6 --hdim 256 --bsz 128 --nq 7".split())
     targs = apply_model_type_presets(targs)
 
