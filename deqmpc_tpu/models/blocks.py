@@ -10,7 +10,7 @@ convs over the time axis.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -31,18 +31,24 @@ def get_act(name: str):
 
 class MLPCell(nn.Module):
     """z' = ln3(relu(z + ln2(x + fc2(ln1(relu(fc1(z)))))))
-    (`deq_layer.py:113-119`)."""
+    (`deq_layer.py:113-119`).
+
+    `dtype` is the MATMUL compute dtype (bf16 runs the MXU at full
+    rate); params and the norm statistics stay f32 — flax norms with
+    dtype=None promote to the f32 param dtype automatically."""
 
     hdim: int
     expand: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x_inj: Array, z: Array) -> Array:
-        y = nn.Dense(self.hdim * self.expand)(z)
+        y = nn.Dense(self.hdim * self.expand, dtype=self.dtype)(z)
         y = nn.relu(y)
         y = nn.LayerNorm()(y)
         out = nn.LayerNorm()(
-            nn.relu(z + nn.LayerNorm()(x_inj + nn.Dense(self.hdim)(y)))
+            nn.relu(z + nn.LayerNorm()(
+                x_inj + nn.Dense(self.hdim, dtype=self.dtype)(y)))
         )
         return out
 
@@ -55,17 +61,20 @@ class ConvCell(nn.Module):
     expand: int = 4
     kernel_width: int = 3
     num_groups: int = 4
+    dtype: Any = None  # matmul compute dtype; norms/params stay f32
 
     @nn.compact
     def __call__(self, x_inj: Array, z: Array) -> Array:
-        y = nn.Conv(self.hdim * self.expand, (self.kernel_width,), padding="SAME")(z)
+        y = nn.Conv(self.hdim * self.expand, (self.kernel_width,),
+                    padding="SAME", dtype=self.dtype)(z)
         y = nn.relu(y)
         y = nn.GroupNorm(num_groups=self.num_groups)(y)
         out = nn.GroupNorm(num_groups=self.num_groups)(
             nn.relu(
                 z
                 + nn.GroupNorm(num_groups=self.num_groups)(
-                    x_inj + nn.Conv(self.hdim, (self.kernel_width,), padding="SAME")(y)
+                    x_inj + nn.Conv(self.hdim, (self.kernel_width,),
+                                    padding="SAME", dtype=self.dtype)(y)
                 )
             )
         )
@@ -92,14 +101,17 @@ class ConvInput(nn.Module):
     horizon: int  # T-1 knot points
     kernel_width: int = 3
     num_groups: int = 4
+    dtype: Any = None  # matmul compute dtype; norms/params stay f32
 
     @nn.compact
     def __call__(self, x_nodes: Array, obs: Array, extra: Sequence[Array] = ()) -> Array:
         # x_nodes: (B, T-1, nx); obs: (B, obs_dim)
         node_emb = nn.Sequential(
-            [nn.Dense(self.hdim), nn.LayerNorm(), nn.relu]
+            [nn.Dense(self.hdim, dtype=self.dtype), nn.LayerNorm(), nn.relu]
         )(x_nodes)
-        x0_emb = nn.Sequential([nn.Dense(self.hdim), nn.LayerNorm(), nn.relu])(obs)
+        x0_emb = nn.Sequential(
+            [nn.Dense(self.hdim, dtype=self.dtype), nn.LayerNorm(), nn.relu]
+        )(obs)
         x0_emb = jnp.broadcast_to(
             x0_emb[:, None], (obs.shape[0], self.horizon, self.hdim)
         )
@@ -109,9 +121,11 @@ class ConvInput(nn.Module):
         t_emb = jnp.broadcast_to(t_emb[None], x0_emb.shape)
         streams = [node_emb, x0_emb, t_emb, *extra]
         inp = jnp.concatenate(streams, axis=-1)
-        inp = nn.Conv(self.hdim * 4, (self.kernel_width,), padding="SAME")(inp)
+        inp = nn.Conv(self.hdim * 4, (self.kernel_width,), padding="SAME",
+                      dtype=self.dtype)(inp)
         inp = nn.relu(inp)
-        inp = nn.Conv(self.hdim, (self.kernel_width,), padding="SAME")(inp)
+        inp = nn.Conv(self.hdim, (self.kernel_width,), padding="SAME",
+                      dtype=self.dtype)(inp)
         inp = nn.GroupNorm(num_groups=self.num_groups)(inp)
         return inp
 
@@ -133,12 +147,16 @@ class ConvOutput(nn.Module):
     hdim: int
     kernel_width: int = 3
     num_groups: int = 4
+    dtype: Any = None  # matmul compute dtype; norms/params stay f32
 
     @nn.compact
     def __call__(self, z: Array) -> Array:
-        y = nn.Conv(self.hdim, (self.kernel_width,), padding="SAME")(z)
+        y = nn.Conv(self.hdim, (self.kernel_width,), padding="SAME",
+                    dtype=self.dtype)(z)
         y = nn.GroupNorm(num_groups=self.num_groups)(y)
         y = nn.relu(y)
+        # the head's final projection stays f32: its output feeds the
+        # solver's reference trajectory directly
         return nn.Conv(self.out_dim, (1,), padding="SAME")(y)
 
 

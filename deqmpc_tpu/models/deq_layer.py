@@ -95,6 +95,10 @@ class DEQLayerConfig:
     kernel_width: int = 3
     deq_expand: int = 4
     num_groups: int = 4
+    # matmul compute dtype for the trunk (params/norms stay f32):
+    # bf16 runs the MXU at full rate — the TPU-native default for the
+    # network phase. The solver keeps its own f32/f64 discipline.
+    compute_dtype: Any = None  # None = f32; jnp.bfloat16 for MXU rate
 
 
 class DEQLayer:
@@ -106,20 +110,21 @@ class DEQLayer:
         self.out_dim = c.nx * (c.T - 1)
         if c.layer_type == "mlp":
             self.input_mod = MLPInput(hdim=c.hdim)
-            self.cell_mod = MLPCell(hdim=c.hdim, expand=c.deq_expand)
+            self.cell_mod = MLPCell(hdim=c.hdim, expand=c.deq_expand,
+                                    dtype=c.compute_dtype)
             self.out_mod = MLPOutput(out_dim=self.out_dim)
         elif c.layer_type == "gcn":
             self.input_mod = ConvInput(
                 hdim=c.hdim, horizon=c.T - 1, kernel_width=c.kernel_width,
-                num_groups=c.num_groups,
+                num_groups=c.num_groups, dtype=c.compute_dtype,
             )
             self.cell_mod = ConvCell(
                 hdim=c.hdim, expand=c.deq_expand, kernel_width=c.kernel_width,
-                num_groups=c.num_groups,
+                num_groups=c.num_groups, dtype=c.compute_dtype,
             )
             self.out_mod = ConvOutput(
                 out_dim=c.nx, hdim=c.hdim, kernel_width=c.kernel_width,
-                num_groups=c.num_groups,
+                num_groups=c.num_groups, dtype=c.compute_dtype,
             )
         else:
             raise NotImplementedError(c.layer_type)

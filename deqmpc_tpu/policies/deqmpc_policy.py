@@ -73,6 +73,9 @@ class PolicyConfig:
     # (`qp_wrapper.py:27-31` GradMethods)
     ip_eps: float = 1e-2
     ip_grad_method: str = "analytic"
+    # network-trunk matmul dtype (None=f32, jnp.bfloat16 for MXU rate);
+    # see DEQLayerConfig.compute_dtype
+    compute_dtype: Any = None
     # streaming real-time path: freeze dynamics Jacobians per tick
     # (`AL_mpc.py:370-391` linearize_once)
     linearize_once: bool = False
@@ -98,6 +101,7 @@ class DEQMPCPolicy:
             hdim=cfg.hdim, layer_type=cfg.layer_type, deq_iter=cfg.deq_iter,
             fp_type=cfg.fp_type, fp_m=cfg.fp_m, fp_max_steps=cfg.fp_max_steps,
             grad_type=cfg.grad_type, kernel_width=cfg.kernel_width,
+            compute_dtype=cfg.compute_dtype,
         )
         self.model = FFDNetwork(mcfg) if cfg.deq_type == "nn" else self._make_model(mcfg)
         # Warm-restart penalty: the reference clamps rho <= rho_init_max

@@ -74,6 +74,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # dead flags are intentionally not reproduced
     p.add_argument("--layer_type", type=str, default="gcn")
     p.add_argument("--kernel_width", type=int, default=3)
+    p.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
+                   help="network-trunk matmul dtype; bf16 runs the MXU "
+                        "at full rate (params/norms/solver stay f32)")
     p.add_argument("--pretrain", action="store_true",
                    help="network-only ('deq'-mode) supervision for the "
                         "first 5000 steps (`train.py:310-312` "
@@ -201,6 +204,9 @@ def build_policy(args, env, obstacles=None):
         ip_grad_method=getattr(args, "ip_grad_method", "analytic"),
         linearize_once=getattr(args, "linearize_once", False),
         recompute_Qq=getattr(args, "recompute_Qq", False),
+        compute_dtype=(jnp.bfloat16
+                       if getattr(args, "compute_dtype", "f32") == "bf16"
+                       else None),
     )
     if not args.deq:
         return NNMPCPolicy(cfg, env, obstacles=obstacles)
