@@ -288,24 +288,39 @@ class SACTrainer:
 
     # -- expert dataset ---------------------------------------------------
     def generate_expert(self, state: SACState, n_episodes: int = 256,
-                        ep_len: int = 200, seed: int = 1):
+                        ep_len: int = 200, seed: int = 1,
+                        noise_std: float = 0.0):
         """Deterministic (tanh-mean) rollouts in the reference pickle
         format: a list of episodes of (state, action) tuples
-        (`datagen.py:34-59` merge layout)."""
+        (`datagen.py:34-59` merge layout).
+
+        noise_std > 0 records the CLEAN action but steps the env with a
+        noise-perturbed one (DART), widening state coverage the way the
+        reference's stochastic RL teachers did — pure deterministic
+        rollouts converge so fast the dataset misses the corrective
+        behavior cloning needs (measured: 44% closed-loop success from
+        the noiseless set vs 100% from the wide energy-teacher set)."""
         rng = jax.random.PRNGKey(seed)
-        x0 = self.env.reset(rng, n_episodes)
+        rng, kr = jax.random.split(rng)
+        x0 = self.env.reset(kr, n_episodes)
 
         @jax.jit
-        def rollout(x0):
-            def body(x, _):
+        def rollout(x0, key):
+            def body(x, k):
                 mu, _ = self.actor.apply(state.actor, self.feat(x))
                 u = unsquash_det(mu, self.u_lo, self.u_hi)
-                return self.env.step(x, u)[0], (self.env.state_clip(x), u)
+                u_apply = u
+                if noise_std > 0:
+                    u_apply = jnp.clip(
+                        u + noise_std * jax.random.normal(k, u.shape),
+                        self.u_lo, self.u_hi)
+                return self.env.step(x, u_apply)[0], (self.env.state_clip(x), u)
 
-            _, (xs, us) = jax.lax.scan(body, x0, None, length=ep_len)
+            keys = jax.random.split(key, ep_len)
+            _, (xs, us) = jax.lax.scan(body, x0, keys)
             return xs, us
 
-        xs, us = rollout(x0)
+        xs, us = rollout(x0, rng)
         states = np.moveaxis(np.asarray(xs), 0, 1)
         actions = np.moveaxis(np.asarray(us), 0, 1)
         ok = (np.isfinite(states).all(axis=(1, 2))
@@ -324,8 +339,13 @@ def main(argv=None):
     p.add_argument("--ep_len", type=int, default=200)
     p.add_argument("--episodes", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise_std", type=float, default=0.2,
+                   help="DART exploration noise during expert rollouts "
+                        "(clean actions recorded)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--save_actor", type=str, default=None,
+                   help="pickle the trained actor params here")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -345,8 +365,12 @@ def main(argv=None):
               f"critic={float(jnp.mean(info['critic_loss'])):.4f} "
               f"alpha={float(info['alpha'][-1]):.4f}", flush=True)
 
+    if args.save_actor:
+        with open(args.save_actor, "wb") as f:
+            pickle.dump(jax.device_get(state.actor), f)
     episodes = tr.generate_expert(state, n_episodes=args.episodes,
-                                  ep_len=args.ep_len, seed=args.seed + 1)
+                                  ep_len=args.ep_len, seed=args.seed + 1,
+                                  noise_std=args.noise_std)
     os.makedirs(DATA_DIR, exist_ok=True)
     path = args.out or expert_data_path(env.spec_id, "sac")
     with open(path, "wb") as f:

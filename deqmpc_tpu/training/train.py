@@ -200,7 +200,7 @@ def build_policy(args, env, obstacles=None):
         al_iter=2, solver_dtype=solver_dtype,
         rho_init_max=args.rho_init_max, rho_max=rho_max,
         solver_type=args.solver_type, qp_iter=args.qp_iter,
-        ip_eps=args.eps,
+        ip_eps=getattr(args, "eps", 1e-2),
         ip_grad_method=getattr(args, "ip_grad_method", "analytic"),
         linearize_once=getattr(args, "linearize_once", False),
         recompute_Qq=getattr(args, "recompute_Qq", False),
