@@ -56,10 +56,27 @@ def collect_policy_states(args, env, policy, params, n_episodes: int = 64,
     out = np.concatenate(visited, axis=0)
     out = out[np.isfinite(out).all(axis=-1)]
     # drop states that have already escaped any recoverable envelope —
-    # the teacher can't fix those and they poison the dataset
-    d = np.linalg.norm(out - np.asarray(env.targ_pos), axis=-1)
-    return out[d < 4.0 * float(np.linalg.norm(env.x_window))] \
-        if hasattr(env, "x_window") else out
+    # the teacher can't fix those, they poison the dataset, and solver
+    # blowups from absurd states (cart at +-60 m, qdot +-140) have
+    # crashed the TPU worker mid-shard. Envelope = the expert dataset's
+    # own per-dim range with 1.5x margin (the teacher's demonstrated
+    # competence region); fallback: distance ball from env.x_window.
+    try:
+        with open(expert_data_path(env.spec_id, args.teacher), "rb") as f:
+            eps = pickle.load(f)
+        ds = np.stack([s for ep in eps[:200] for s, _ in ep[::8]])
+        # 2nd..98th percentile, not min/max: teacher datasets carry a
+        # wild transient tail (cartpole cart at -79 m) that would blow
+        # the envelope open and readmit exactly the unrecoverable
+        # states this filter exists to drop
+        lo, hi = np.percentile(ds, 2, axis=0), np.percentile(ds, 98, axis=0)
+        c, h = (lo + hi) / 2, np.maximum((hi - lo) / 2, 1e-3)
+        keep = np.all(np.abs(out - c) <= 1.5 * h, axis=-1)
+        return out[keep]
+    except FileNotFoundError:
+        d = np.linalg.norm(out - np.asarray(env.targ_pos), axis=-1)
+        return out[d < 4.0 * float(np.linalg.norm(env.x_window))] \
+            if hasattr(env, "x_window") else out
 
 
 def corrective_episodes(args, env, starts: np.ndarray, ep_len: int,
@@ -99,37 +116,78 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (env var is too late — "
                         "the harness pre-imports jax; see expert_gen)")
+    p.add_argument("--phase", choices=["all", "collect", "shards"],
+                   default="all",
+                   help="'all' orchestrates collect + teacher shards as "
+                        "SUBPROCESSES (the single tunneled TPU chip "
+                        "tolerates one process at a time, and a giant "
+                        "in-process teacher program crashes the worker); "
+                        "'collect'/'shards' are the worker phases")
+    p.add_argument("--starts_npz", type=str, default="/tmp/dagger_starts.npz")
     args = p.parse_args(argv)
-    if args.cpu:
+    if args.cpu and args.phase != "all":
         jax.config.update("jax_platforms", "cpu")
-    args = apply_model_type_presets(args)
 
+    import subprocess
+    import sys
+
+    if args.phase == "all":
+        # orchestrator: no jax/TPU use in this process
+        base = [a for a in (argv if argv is not None else sys.argv[1:])
+                if a not in ("--phase", "all")]
+        for phase in ("collect", "shards"):
+            rc = subprocess.run(
+                [sys.executable, "-m", "deqmpc_tpu.data.dagger",
+                 *base, "--phase", phase]).returncode
+            if rc != 0:
+                raise SystemExit(f"dagger phase {phase} failed (rc={rc})")
+        return
+
+    args = apply_model_type_presets(args)
     env = make_env(args.env)
     if args.nq <= 0:
         args.nq = env.nq if env.nq <= env.nx // 2 else env.nx // 2
-    policy = build_policy(args, env)
-    params = policy.init(jax.random.PRNGKey(args.seed))
-    params, _, _, _ = load_checkpoint(
-        os.path.join(args.models_dir, args.ckpt), params)
 
-    states = collect_policy_states(
-        args, env, policy, params, n_episodes=64, seed=args.seed)
-    rng = np.random.default_rng(args.seed)
-    idx = rng.choice(len(states), size=min(args.dagger_episodes, len(states)),
-                     replace=False)
-    new_eps = corrective_episodes(args, env, states[idx],
-                                  ep_len=args.dagger_ep_len,
-                                  noise_std=args.dagger_noise_std,
-                                  seed=args.seed)
+    if args.phase == "collect":
+        policy = build_policy(args, env)
+        params = policy.init(jax.random.PRNGKey(args.seed))
+        params, _, _, _ = load_checkpoint(
+            os.path.join(args.models_dir, args.ckpt), params)
+        states = collect_policy_states(
+            args, env, policy, params, n_episodes=64, seed=args.seed)
+        rng = np.random.default_rng(args.seed)
+        idx = rng.choice(len(states),
+                         size=min(args.dagger_episodes, len(states)),
+                         replace=False)
+        np.savez(args.starts_npz, x0=states[idx])
+        print(f"collected {len(idx)} start states -> {args.starts_npz}",
+              flush=True)
+        return
 
+    # phase == "shards": crash-resilient 64-episode teacher shards,
+    # each in a FRESH subprocess appending to the dataset pickle
+    import tempfile
+
+    starts = np.load(args.starts_npz)["x0"]
     path = expert_data_path(env.spec_id, args.teacher)
+    for lo in range(0, len(starts), 64):
+        with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as tf:
+            np.savez(tf.name, x0=starts[lo:lo + 64])
+            shard_npz = tf.name
+        cmd = [sys.executable, "-m", "deqmpc_tpu.data.expert_gen",
+               "--env", args.env, "--x0_npz", shard_npz, "--append",
+               "--teacher", args.teacher,
+               "--ep_len", str(args.dagger_ep_len),
+               "--horizon", str(args.dagger_horizon),
+               "--al_iters", str(args.al_iters),
+               "--noise_std", str(args.dagger_noise_std),
+               "--seed", str(args.seed + lo)]
+        if args.cpu:
+            cmd.append("--cpu")
+        rc = subprocess.run(cmd).returncode
+        print(f"shard {lo // 64}: rc={rc}", flush=True)
     with open(path, "rb") as f:
-        eps = pickle.load(f)
-    eps = eps + new_eps
-    with open(path, "wb") as f:
-        pickle.dump(eps, f)
-    print(f"appended {len(new_eps)} corrective episodes -> {path} "
-          f"(total {len(eps)})")
+        print(f"dataset now has {len(pickle.load(f))} episodes -> {path}")
 
 
 if __name__ == "__main__":

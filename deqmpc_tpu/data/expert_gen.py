@@ -81,9 +81,20 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     def rollout(x0, sol_state0, key):
         def body(carry, k):
             x, sol_state = carry  # x: continuous (unwrapped) state
+            # freeze diverged lanes: a lane that has left any physical
+            # envelope (nominal states are |x| < ~10 on every env)
+            # keeps the solver pinned at its iteration caps — slowing
+            # every chunk ~4x — and, integrating toward inf, has
+            # faulted the TPU worker mid-scan (cartpole DAgger
+            # shards). The episode is dead data regardless (dropped by
+            # the final distance/finiteness filters), so hold its
+            # state and solve from the origin in its lane.
+            dead = jnp.any(jnp.abs(x) > 50.0, axis=-1) | \
+                jnp.any(~jnp.isfinite(x), axis=-1)
+            x_solve = jnp.where(dead[:, None], 0.0, x)
             xs, us, status, sol_state = tracking(
-                x.astype(jnp.float32), snap_ref(x), u_ref_tile, sol_state,
-                al_iters=al_iters,
+                x_solve.astype(jnp.float32), snap_ref(x_solve), u_ref_tile,
+                sol_state, al_iters=al_iters,
             )
             u0 = jnp.clip(us[:, 0], u_lo, u_hi)
             u_apply = u0
@@ -92,12 +103,12 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
                     u0 + noise_std * jax.random.normal(k, u0.shape), u_lo, u_hi
                 )
             x_next = env.dynamics(x, u_apply)  # no wrap on the shadow state
+            x_next = jnp.where(dead[:, None], x, x_next)
             sol_state = tracking.warm_start_state(sol_state, rho_init_max)
             return (x_next, sol_state), (env.state_clip(x), u0)
 
-        keys = jax.random.split(key, ep_len)
-        (_, _), (xs, us) = jax.lax.scan(body, (x0, sol_state0), keys)
-        return xs, us
+        carry, (xs, us) = jax.lax.scan(body, (x0, sol_state0), key)
+        return carry, xs, us
 
     rng = jax.random.PRNGKey(seed)
     rng, kr = jax.random.split(rng)
@@ -106,7 +117,23 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     else:
         x0 = jnp.asarray(x0, jnp.result_type(float))
         bsz = x0.shape[0]
-    xs, us = rollout(x0, tracking.init_state(bsz), kr)
+    # chunk the scan: ONE device call covering the whole episode can
+    # exceed the TPU tunnel's per-execution deadline when many lanes
+    # run the solver to its iteration caps (observed: 16 diverging
+    # lanes x 200 steps x H=60 -> "TPU worker crashed"; the same
+    # program in 50-step chunks completes)
+    chunk = 50
+    carry = (x0, tracking.init_state(bsz))
+    xs_parts, us_parts = [], []
+    for lo in range(0, ep_len, chunk):
+        n = min(chunk, ep_len - lo)
+        kr, sub = jax.random.split(kr)
+        carry, xs_c, us_c = rollout(carry[0], carry[1],
+                                    jax.random.split(sub, n))
+        xs_parts.append(xs_c)
+        us_parts.append(us_c)
+    xs = jnp.concatenate(xs_parts, axis=0)
+    us = jnp.concatenate(us_parts, axis=0)
     states = np.moveaxis(np.asarray(xs), 0, 1)   # (bsz, ep_len, nx)
     actions = np.moveaxis(np.asarray(us), 0, 1)
     # drop lanes that went non-finite
@@ -438,10 +465,22 @@ def main():
                         "coverage around the expert tube is what makes "
                         "behavior cloning robust in closed loop (the "
                         "reference's SAC/CGAC teachers are stochastic)")
+    p.add_argument("--x0_npz", type=str, default=None,
+                   help="npz with array 'x0': explicit start states "
+                        "(DAgger corrective shards run as fresh "
+                        "subprocesses — one giant in-process teacher "
+                        "program crashes the TPU worker)")
+    p.add_argument("--append", action="store_true",
+                   help="append to the dataset pickle instead of "
+                        "overwriting it")
     args = p.parse_args()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    x0 = None
+    if args.x0_npz:
+        x0 = np.load(args.x0_npz)["x0"]
 
     env = make_env(args.env)
     if args.env.startswith("pendulum") and not args.env.endswith("stabilize"):
@@ -449,11 +488,13 @@ def main():
             env, n_episodes=args.episodes, seed=args.seed,
             ep_len=args.ep_len if args.ep_len is not None else 200,
             noise_std=args.noise_std if args.noise_std is not None else 0.2,
+            **({"x0": x0} if x0 is not None else {}),
         )
     elif "FlyingCartpole" in args.env:
         episodes = generate_flying_cartpole_expert(
             env, n_episodes=args.episodes, seed=args.seed,
             ep_len=args.ep_len if args.ep_len is not None else 200,
+            **({"x0": x0} if x0 is not None else {}),
         )
     elif args.env == "cartpole2link":
         # tuned defaults of the capture teacher (ep_len 300, horizon 60,
@@ -471,9 +512,13 @@ def main():
             horizon=args.horizon if args.horizon is not None else 30,
             al_iters=args.al_iters if args.al_iters is not None else 2,
             noise_std=args.noise_std if args.noise_std is not None else 0.2,
+            x0=x0,
         )
     os.makedirs(DATA_DIR, exist_ok=True)
     path = expert_data_path(env.spec_id, args.teacher)
+    if args.append and os.path.exists(path):
+        with open(path, "rb") as f:
+            episodes = pickle.load(f) + episodes
     with open(path, "wb") as f:
         pickle.dump(episodes, f)
     # quick quality report: mean final distance to target (wrap-aware
