@@ -163,7 +163,7 @@ def test_policy_streaming_linearize_once():
     rng = np.random.default_rng(3)
     obs = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 2)), jnp.float32)
 
-    outs = {}
+    defects = {}
     for lin in (False, True):
         cfg = PolicyConfig(nx=2, nu=1, nq=1, T=5, dt=env.dt, bsz=4, hdim=16,
                            layer_type="mlp", deq_iter=2, fp_max_steps=4,
@@ -176,10 +176,21 @@ def test_policy_streaming_linearize_once():
                                            carry)
         _, xs, us = po2["trajs"][-1]
         assert bool(jnp.all(jnp.isfinite(xs))) and bool(jnp.all(jnp.isfinite(us)))
-        outs[lin] = np.asarray(us[:, 0])
-    # same network, warm start and cost: the frozen-Jacobian tick should
-    # land near the full nonlinear tick (not bitwise — different model)
-    assert np.abs(outs[True] - outs[False]).max() < 0.5
+        # the AL solver enforces the box by penalty, so allow the small
+        # violation a loosely-converged tick carries (~2%)
+        assert bool(jnp.all(jnp.abs(us) <= 2.0 * 1.05)), "torque box violated"
+        d = xs[:, 1:] - env.dynamics(xs[:, :-1], us[:, :-1])
+        defects[lin] = float(jnp.abs(d).max())
+    # The frozen-Jacobian tick solves a *different* (linearized) model,
+    # so controls at a RANDOM (untrained) network's garbage reference
+    # legitimately differ from the nonlinear tick — asserting control
+    # proximity here pinned the old al_iters=2 under-iteration (see the
+    # r3 advisor fix: the lin tick now runs the solver's 8-iteration
+    # budget with stall/rho-cap exits, matching AL_mpc.py:378). The
+    # invariant that matters: the tick returns a dynamically consistent
+    # trajectory — its true-dynamics defect stays within the
+    # linearization error of one warm receding-horizon step.
+    assert defects[True] < max(5.0 * defects[False], 0.05), defects
 
 
 def test_warm_tick_rho_schedule_depth():
