@@ -19,6 +19,45 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+class UnfoldConv(nn.Module):
+    """Conv1d(k, SAME) as unfold + ONE matmul: (B, L, k*Cin) @ (k*Cin,
+    Cout). Param shapes/names match nn.Conv ('kernel' (k, Cin, Cout),
+    'bias'), so checkpoints are interchangeable. At the trunk's tiny
+    spatial extent (L = T-1 = 4..9) XLA's conv path is overhead-bound
+    on TPU; a single MXU matmul over the stacked neighborhood is the
+    speed-of-light shape. Zero-pad neighbors are built with pads/
+    concats only (no gather/scatter)."""
+
+    features: int
+    kernel_width: int = 3
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel_width
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        lo = (k - 1) // 2
+        z = jnp.zeros(x.shape[:-2] + (1, cin), x.dtype)
+        shifts = []
+        for off in range(-lo, k - 1 - lo + 1):
+            if off < 0:
+                s = jnp.concatenate([jnp.repeat(z, -off, axis=-2),
+                                     x[..., : x.shape[-2] + off, :]], axis=-2)
+            elif off > 0:
+                s = jnp.concatenate([x[..., off:, :],
+                                     jnp.repeat(z, off, axis=-2)], axis=-2)
+            else:
+                s = x
+            shifts.append(s)
+        stacked = jnp.concatenate(shifts, axis=-1).astype(dt)
+        w = kernel.reshape(k * cin, self.features).astype(dt)
+        return stacked @ w + bias.astype(dt)
+
+
 def get_act(name: str):
     if name == "relu":
         return nn.relu
@@ -65,16 +104,17 @@ class ConvCell(nn.Module):
 
     @nn.compact
     def __call__(self, x_inj: Array, z: Array) -> Array:
-        y = nn.Conv(self.hdim * self.expand, (self.kernel_width,),
-                    padding="SAME", dtype=self.dtype)(z)
+        y = UnfoldConv(self.hdim * self.expand, name="Conv_0",
+                       kernel_width=self.kernel_width, dtype=self.dtype)(z)
         y = nn.relu(y)
         y = nn.GroupNorm(num_groups=self.num_groups)(y)
         out = nn.GroupNorm(num_groups=self.num_groups)(
             nn.relu(
                 z
                 + nn.GroupNorm(num_groups=self.num_groups)(
-                    x_inj + nn.Conv(self.hdim, (self.kernel_width,),
-                                    padding="SAME", dtype=self.dtype)(y)
+                    x_inj + UnfoldConv(self.hdim, name="Conv_1",
+                                       kernel_width=self.kernel_width,
+                                       dtype=self.dtype)(y)
                 )
             )
         )
@@ -121,11 +161,13 @@ class ConvInput(nn.Module):
         t_emb = jnp.broadcast_to(t_emb[None], x0_emb.shape)
         streams = [node_emb, x0_emb, t_emb, *extra]
         inp = jnp.concatenate(streams, axis=-1)
-        inp = nn.Conv(self.hdim * 4, (self.kernel_width,), padding="SAME",
-                      dtype=self.dtype)(inp)
+        inp = UnfoldConv(self.hdim * 4, name="Conv_0",
+                         kernel_width=self.kernel_width,
+                         dtype=self.dtype)(inp)
         inp = nn.relu(inp)
-        inp = nn.Conv(self.hdim, (self.kernel_width,), padding="SAME",
-                      dtype=self.dtype)(inp)
+        inp = UnfoldConv(self.hdim, name="Conv_1",
+                         kernel_width=self.kernel_width,
+                         dtype=self.dtype)(inp)
         inp = nn.GroupNorm(num_groups=self.num_groups)(inp)
         return inp
 
@@ -151,13 +193,13 @@ class ConvOutput(nn.Module):
 
     @nn.compact
     def __call__(self, z: Array) -> Array:
-        y = nn.Conv(self.hdim, (self.kernel_width,), padding="SAME",
-                    dtype=self.dtype)(z)
+        y = UnfoldConv(self.hdim, name="Conv_0",
+                       kernel_width=self.kernel_width, dtype=self.dtype)(z)
         y = nn.GroupNorm(num_groups=self.num_groups)(y)
         y = nn.relu(y)
         # the head's final projection stays f32: its output feeds the
         # solver's reference trajectory directly
-        return nn.Conv(self.out_dim, (1,), padding="SAME")(y)
+        return UnfoldConv(self.out_dim, name="Conv_1", kernel_width=1)(y)
 
 
 class GatedResidual(nn.Module):

@@ -32,7 +32,7 @@ def _time(fn, *args, n_warmup=2, n_rep=10):
     for _ in range(n_rep):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_rep
+    return (time.perf_counter() - t0) / n_rep, out
 
 
 def main():
@@ -104,8 +104,8 @@ def main():
             updates, o = optimizer.update(grads, o, p)
             return optax.apply_updates(p, updates), o, loss
 
-        dt_net = _time(net_fwd, params, obs)
-        dt_fwd = _time(fwd, params, obs)
+        dt_net, _ = _time(net_fwd, params, obs)
+        dt_fwd, _ = _time(fwd, params, obs)
         dt_tr, out = _time(train_step, params, opt_state)
         print(json.dumps({
             "variant": variant, "env": args.env, "T": args.T,
