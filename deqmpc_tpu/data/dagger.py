@@ -132,9 +132,17 @@ def main(argv=None):
     import sys
 
     if args.phase == "all":
-        # orchestrator: no jax/TPU use in this process
-        base = [a for a in (argv if argv is not None else sys.argv[1:])
-                if a not in ("--phase", "all")]
+        # orchestrator: no jax/TPU use in this process. Strip the
+        # --phase flag positionally (a value filter would also eat any
+        # unrelated argument whose value is literally 'all')
+        base = list(argv if argv is not None else sys.argv[1:])
+        for i, a in enumerate(base):
+            if a == "--phase":
+                del base[i:i + 2]
+                break
+            if a.startswith("--phase="):
+                del base[i]
+                break
         for phase in ("collect", "shards"):
             rc = subprocess.run(
                 [sys.executable, "-m", "deqmpc_tpu.data.dagger",
@@ -155,6 +163,12 @@ def main(argv=None):
             os.path.join(args.models_dir, args.ckpt), params)
         states = collect_policy_states(
             args, env, policy, params, n_episodes=64, seed=args.seed)
+        if len(states) == 0:
+            raise SystemExit(
+                "dagger collect: every visited state was rejected by the "
+                "envelope filter (policy rollouts left the teacher's "
+                "competence region entirely) — check the checkpoint "
+                "quality or widen the envelope in collect_policy_states")
         rng = np.random.default_rng(args.seed)
         idx = rng.choice(len(states),
                          size=min(args.dagger_episodes, len(states)),
@@ -170,6 +184,7 @@ def main(argv=None):
 
     starts = np.load(args.starts_npz)["x0"]
     path = expert_data_path(env.spec_id, args.teacher)
+    failed = 0
     for lo in range(0, len(starts), 64):
         with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as tf:
             np.savez(tf.name, x0=starts[lo:lo + 64])
@@ -186,8 +201,15 @@ def main(argv=None):
             cmd.append("--cpu")
         rc = subprocess.run(cmd).returncode
         print(f"shard {lo // 64}: rc={rc}", flush=True)
+        failed += rc != 0
+    # the append path writes via temp-file + os.replace, so a crashed
+    # shard loses only its own episodes; still surface the loss
     with open(path, "rb") as f:
-        print(f"dataset now has {len(pickle.load(f))} episodes -> {path}")
+        n_eps = len(pickle.load(f))
+    print(f"dataset now has {n_eps} episodes -> {path}")
+    if failed:
+        raise SystemExit(f"dagger shards: {failed} shard(s) failed — "
+                         "their corrective episodes are missing")
 
 
 if __name__ == "__main__":

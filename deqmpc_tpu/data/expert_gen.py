@@ -86,9 +86,9 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
             # keeps the solver pinned at its iteration caps — slowing
             # every chunk ~4x — and, integrating toward inf, has
             # faulted the TPU worker mid-scan (cartpole DAgger
-            # shards). The episode is dead data regardless (dropped by
-            # the final distance/finiteness filters), so hold its
-            # state and solve from the origin in its lane.
+            # shards). The episode is dead data regardless (the dead
+            # mask is threaded out of the scan and drops the lane), so
+            # hold its state and solve from the origin in its lane.
             dead = jnp.any(jnp.abs(x) > 50.0, axis=-1) | \
                 jnp.any(~jnp.isfinite(x), axis=-1)
             x_solve = jnp.where(dead[:, None], 0.0, x)
@@ -105,10 +105,10 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
             x_next = env.dynamics(x, u_apply)  # no wrap on the shadow state
             x_next = jnp.where(dead[:, None], x, x_next)
             sol_state = tracking.warm_start_state(sol_state, rho_init_max)
-            return (x_next, sol_state), (env.state_clip(x), u0)
+            return (x_next, sol_state), (env.state_clip(x), u0, dead)
 
-        carry, (xs, us) = jax.lax.scan(body, (x0, sol_state0), key)
-        return carry, xs, us
+        carry, (xs, us, deads) = jax.lax.scan(body, (x0, sol_state0), key)
+        return carry, xs, us, deads
 
     rng = jax.random.PRNGKey(seed)
     rng, kr = jax.random.split(rng)
@@ -124,20 +124,27 @@ def generate_mpc_expert(env, n_episodes: int = 256, ep_len: int = 200,
     # program in 50-step chunks completes)
     chunk = 50
     carry = (x0, tracking.init_state(bsz))
-    xs_parts, us_parts = [], []
+    xs_parts, us_parts, dead_parts = [], [], []
     for lo in range(0, ep_len, chunk):
         n = min(chunk, ep_len - lo)
         kr, sub = jax.random.split(kr)
-        carry, xs_c, us_c = rollout(carry[0], carry[1],
-                                    jax.random.split(sub, n))
+        carry, xs_c, us_c, dead_c = rollout(carry[0], carry[1],
+                                            jax.random.split(sub, n))
         xs_parts.append(xs_c)
         us_parts.append(us_c)
+        dead_parts.append(dead_c)
     xs = jnp.concatenate(xs_parts, axis=0)
     us = jnp.concatenate(us_parts, axis=0)
     states = np.moveaxis(np.asarray(xs), 0, 1)   # (bsz, ep_len, nx)
     actions = np.moveaxis(np.asarray(us), 0, 1)
-    # drop lanes that went non-finite
-    ok = np.isfinite(states).all(axis=(1, 2)) & np.isfinite(actions).all(axis=(1, 2))
+    ever_dead = np.asarray(jnp.concatenate(dead_parts, axis=0)).any(axis=0)
+    # drop lanes that went non-finite AND lanes the in-scan freeze held
+    # at a diverged state (held-state/origin-action pairs are garbage;
+    # the recorded states alone can't reveal them — state_clip wraps
+    # angles and clips pendulum speed, masking the divergence)
+    ok = (np.isfinite(states).all(axis=(1, 2))
+          & np.isfinite(actions).all(axis=(1, 2))
+          & ~ever_dead)
     episodes = []
     for b in np.nonzero(ok)[0]:
         episodes.append(
@@ -150,7 +157,7 @@ def generate_cartpole2l_capture_expert(env, n_episodes: int = 256,
                                        ep_len: int = 300, horizon: int = 60,
                                        seed: int = 0, al_iters: int = 10,
                                        noise_std: float = 0.3,
-                                       tol: float = 0.25):
+                                       tol: float = 0.25, x0=None):
     """Cartpole2link expert in the capture/stabilize regime: starts with
     joint angles within +-0.7 of upright, cart within +-1, moderate
     velocities; failed lanes filtered at `tol`.
@@ -163,11 +170,12 @@ def generate_cartpole2l_capture_expert(env, n_episodes: int = 256,
     regime is where the teacher is competent (measured: 96% of lanes
     within 0.25, median 0.03) and is the regime a T-step tracking
     policy operates in."""
-    rng = np.random.default_rng(seed)
-    x0 = np.zeros((n_episodes, 6), np.float32)
-    x0[:, 0] = rng.uniform(-1.0, 1.0, n_episodes)
-    x0[:, 1:3] = rng.uniform(-0.7, 0.7, (n_episodes, 2))
-    x0[:, 3:] = rng.uniform(-1.0, 1.0, (n_episodes, 3))
+    if x0 is None:
+        rng = np.random.default_rng(seed)
+        x0 = np.zeros((n_episodes, 6), np.float32)
+        x0[:, 0] = rng.uniform(-1.0, 1.0, n_episodes)
+        x0[:, 1:3] = rng.uniform(-0.7, 0.7, (n_episodes, 2))
+        x0[:, 3:] = rng.uniform(-1.0, 1.0, (n_episodes, 3))
     eps = generate_mpc_expert(env, ep_len=ep_len, horizon=horizon,
                               al_iters=al_iters, noise_std=noise_std,
                               env_name="cartpole2link", x0=x0, seed=seed)
@@ -501,6 +509,7 @@ def main():
         # al_iters 10, noise 0.3) apply unless explicitly overridden
         episodes = generate_cartpole2l_capture_expert(
             env, n_episodes=args.episodes, seed=args.seed,
+            **({"x0": x0} if x0 is not None else {}),
             **{k: getattr(args, k) for k in
                ("ep_len", "horizon", "al_iters", "noise_std")
                if getattr(args, k) is not None},
@@ -519,8 +528,13 @@ def main():
     if args.append and os.path.exists(path):
         with open(path, "rb") as f:
             episodes = pickle.load(f) + episodes
-    with open(path, "wb") as f:
+    # write-then-rename: shard subprocesses crash (TPU worker faults)
+    # and a crash mid pickle.dump must not truncate the accumulated
+    # dataset in place
+    tmp_path = path + ".tmp"
+    with open(tmp_path, "wb") as f:
         pickle.dump(episodes, f)
+    os.replace(tmp_path, path)
     # quick quality report: mean final distance to target (wrap-aware
     # on angle dims — a converged pole at 6.283 is at the target, not
     # 2pi away)
