@@ -39,6 +39,32 @@ def _time(fn, *args, n_warmup=2, n_rep=20):
     return (time.perf_counter() - t0) / n_rep, out
 
 
+def _time_stats(fn, *args, n_warmup=2, n_rep=20, n_blocks=7):
+    """Median +/- spread over n_blocks independently timed blocks of
+    n_rep calls each. Single-block timings through the TPU tunnel carry
+    ~0.6 ms RPC jitter per dispatch, which round-4 showed can invert a
+    0.3 ms comparison (lin vs nonlinear tick); the block median with a
+    p10-p90 band makes regressions distinguishable from noise."""
+    out = None
+    for _ in range(n_warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    per_call = []
+    for _ in range(n_blocks):
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        per_call.append((time.perf_counter() - t0) / n_rep)
+    per_call = np.asarray(per_call)
+    stats = {
+        "med": float(np.median(per_call)),
+        "p10": float(np.percentile(per_call, 10)),
+        "p90": float(np.percentile(per_call, 90)),
+    }
+    return stats, out
+
+
 def main():
     from deqmpc_tpu.envs import RexQuadrotor
     from deqmpc_tpu.policies import (DEQMPCPolicy, PolicyConfig,
@@ -112,7 +138,8 @@ def main():
         po, _ = policy.forward(params, obs, qp_solve=True)
         return po["trajs"][-1][1]
 
-    dt_fwd, out = _time(fwd, params, obs, n_rep=10)
+    fwd_st, out = _time_stats(fwd, params, obs, n_rep=10, n_blocks=5)
+    dt_fwd = fwd_st["med"]
     assert bool(jnp.all(jnp.isfinite(out))), "non-finite forward"
 
     # phase split (VERDICT r2 #6): network-only forward isolates the
@@ -141,7 +168,9 @@ def main():
         updates, o = optimizer.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    dt_train, (_, _, loss) = _time(train_step, params, opt_state, n_rep=10)
+    train_st, (_, _, loss) = _time_stats(train_step, params, opt_state,
+                                         n_rep=10, n_blocks=5)
+    dt_train = train_st["med"]
     assert np.isfinite(float(loss)), "non-finite train loss"
 
     # --- 4. streaming warm-start per-tick latency at batch 1 -------------
@@ -166,7 +195,8 @@ def main():
         return po["trajs"][-1][2][:, 0], carry
 
     _, (u0, carry) = _time(cold, sparams, sobs, n_rep=5)
-    dt_warm, _ = _time(warm, sparams, sobs, carry, n_rep=50)
+    warm_st, _ = _time_stats(warm, sparams, sobs, carry, n_rep=50)
+    dt_warm = warm_st["med"]
     assert bool(jnp.all(jnp.isfinite(u0))), "non-finite control"
 
     # linearize-once streaming tick (`AL_mpc.py:370-391`): frozen
@@ -182,7 +212,9 @@ def main():
                                                qp_solve=True)
         return po["trajs"][-1][2][:, 0], carry
 
-    dt_warm_lin, (u_lin, _) = _time(warm_lin, sparams, sobs, carry, n_rep=50)
+    lin_st, (u_lin, _) = _time_stats(warm_lin, sparams, sobs, carry,
+                                     n_rep=50)
+    dt_warm_lin = lin_st["med"]
     assert bool(jnp.all(jnp.isfinite(u_lin))), "non-finite lin control"
 
     target = 10_000.0
@@ -203,6 +235,8 @@ def main():
         "deqmpc_fwd_ms": round(dt_fwd * 1e3, 2),
         "deqmpc_fwd_throughput": round(fb / dt_fwd, 1),
         "train_step_ms": round(dt_train * 1e3, 2),
+        "train_step_ms_p10": round(train_st["p10"] * 1e3, 2),
+        "train_step_ms_p90": round(train_st["p90"] * 1e3, 2),
         "phase_network_fwd_ms": round(dt_net * 1e3, 2),
         "phase_solver_fwd_ms": round((dt_fwd - dt_net) * 1e3, 2),
         "phase_backward_opt_ms": round((dt_train - dt_fwd) * 1e3, 2),
@@ -211,7 +245,11 @@ def main():
         "device_kind": kind,
         "solve_mfu_f32": _finite(mfu, 5),
         "streaming_warm_ms": round(dt_warm * 1e3, 3),
+        "streaming_warm_ms_p10": round(warm_st["p10"] * 1e3, 3),
+        "streaming_warm_ms_p90": round(warm_st["p90"] * 1e3, 3),
         "streaming_warm_lin_ms": round(dt_warm_lin * 1e3, 3),
+        "streaming_warm_lin_ms_p10": round(lin_st["p10"] * 1e3, 3),
+        "streaming_warm_lin_ms_p90": round(lin_st["p90"] * 1e3, 3),
         "control_period_ms": round(env.dt * 1e3, 2),
         "realtime_margin": round(env.dt / dt_warm, 2),
     }))

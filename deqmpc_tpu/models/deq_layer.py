@@ -99,6 +99,17 @@ class DEQLayerConfig:
     # bf16 runs the MXU at full rate — the TPU-native default for the
     # network phase. The solver keeps its own f32/f64 discipline.
     compute_dtype: Any = None  # None = f32; jnp.bfloat16 for MXU rate
+    # obstacle-aware input stream: when a static sphere field (N,3) is
+    # set, per-knot top-k nearest-obstacle features (clipped offsets +
+    # clearance) are appended to the network input. The reference's
+    # network is obstacle-blind (`AL_mpc_custom.py` constrains only the
+    # solver); the round-4 closed-loop experiment showed a blind
+    # reference re-points through spheres faster than a T=5 tracker can
+    # avoid them — this stream is the fix.
+    obstacle_centers: Any = None   # (N, 3) array or None
+    obstacle_radius: float = 0.0
+    obstacle_n_sel: int = 4
+    obstacle_range: float = 5.0    # sensing clip on offsets/clearance
 
 
 class DEQLayer:
@@ -154,14 +165,43 @@ class DEQLayer:
     def _obs_dim(self):
         return self.cfg.nx
 
+    def _obstacle_feats(self, x_knots: Array) -> Array:
+        """Per-knot features of the n_sel nearest spheres: clipped
+        center offsets (3k) + clearance dist-radius (k), (B, T-1, 4k).
+        Same top-k selection the solver's constraint rows use
+        (`AL_mpc_custom.py:100-135`), applied to the carried iterate."""
+        c = self.cfg
+        centers = jnp.asarray(c.obstacle_centers, x_knots.dtype)  # (N, 3)
+        pos = x_knots[..., :3]                                    # (B,T-1,3)
+        d2 = jnp.sum((pos[..., None, :] - centers) ** 2, axis=-1)
+        _, idx = lax.top_k(-d2, c.obstacle_n_sel)
+        sel = jnp.take(centers, idx, axis=0)                      # (B,T-1,k,3)
+        off = sel - pos[..., None, :]
+        clear = jnp.linalg.norm(off, axis=-1) - c.obstacle_radius
+        off = jnp.clip(off, -c.obstacle_range, c.obstacle_range)
+        clear = jnp.clip(clear, -c.obstacle_range, c.obstacle_range)
+        b, h = pos.shape[0], pos.shape[1]
+        return jnp.concatenate([off.reshape(b, h, -1), clear], axis=-1)
+
+    def _mlp_flat_input(self, x_prev, extra=()):
+        flat = x_prev.reshape(x_prev.shape[0], -1)
+        if extra:
+            flat = jnp.concatenate(
+                [flat, *[e.reshape(e.shape[0], -1) for e in extra]], axis=-1)
+        return flat
+
     def _init_input(self, rng, obs, x_prev):
         c = self.cfg
+        extra = ()
+        if c.obstacle_centers is not None:
+            extra = (self._obstacle_feats(x_prev[:, 1:]),)
         if c.layer_type == "mlp":
-            p = self.input_mod.init(rng, x_prev.reshape(x_prev.shape[0], -1))
-            inj = self.input_mod.apply(p, x_prev.reshape(x_prev.shape[0], -1))
+            flat = self._mlp_flat_input(x_prev, extra)
+            p = self.input_mod.init(rng, flat)
+            inj = self.input_mod.apply(p, flat)
         else:
-            p = self.input_mod.init(rng, x_prev[:, 1:], obs)
-            inj = self.input_mod.apply(p, x_prev[:, 1:], obs)
+            p = self.input_mod.init(rng, x_prev[:, 1:], obs, extra)
+            inj = self.input_mod.apply(p, x_prev[:, 1:], obs, extra)
         return {"params": p, "inj": inj}
 
     def init_z(self, bsz: int) -> Array:
@@ -173,8 +213,11 @@ class DEQLayer:
     # -- forward --------------------------------------------------------------
     def _input(self, params, obs, x_prev, extra=()):
         c = self.cfg
+        if c.obstacle_centers is not None:
+            extra = (*extra, self._obstacle_feats(x_prev[:, 1:]))
         if c.layer_type == "mlp":
-            return self.input_mod.apply(params["input"], x_prev.reshape(x_prev.shape[0], -1))
+            return self.input_mod.apply(
+                params["input"], self._mlp_flat_input(x_prev, extra))
         return self.input_mod.apply(params["input"], x_prev[:, 1:], obs, extra)
 
     def _fixed_point(self, params, inj, z):

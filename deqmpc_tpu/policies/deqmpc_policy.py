@@ -83,6 +83,14 @@ class PolicyConfig:
     # network between AL iterations (`AL_mpc.py:173` recompute_Qq,
     # default off in the reference too)
     recompute_Qq: bool = False
+    # obstacle handling: `obstacle_net_input` appends per-knot nearest-
+    # sphere features to the network input (the reference's network is
+    # blind; see DEQLayerConfig.obstacle_centers); `obstacle_constraints`
+    # gates the solver's sphere rows (`AL_mpc_custom.py`) so a
+    # net-aware policy can be ablated without constraint rows while
+    # keeping the same parameter tree
+    obstacle_net_input: bool = False
+    obstacle_constraints: bool = True
 
 
 class DEQMPCPolicy:
@@ -96,12 +104,15 @@ class DEQMPCPolicy:
         self.loss_type = cfg.loss_type
         self.deq_reg = cfg.deq_reg
         self.deq_iter = cfg.deq_iter
+        net_aware = cfg.obstacle_net_input and obstacles is not None
         mcfg = DEQLayerConfig(
             nx=cfg.nx, nu=cfg.nu, nq=cfg.nq, T=cfg.T, dt=cfg.dt,
             hdim=cfg.hdim, layer_type=cfg.layer_type, deq_iter=cfg.deq_iter,
             fp_type=cfg.fp_type, fp_m=cfg.fp_m, fp_max_steps=cfg.fp_max_steps,
             grad_type=cfg.grad_type, kernel_width=cfg.kernel_width,
             compute_dtype=cfg.compute_dtype,
+            obstacle_centers=(obstacles.centers if net_aware else None),
+            obstacle_radius=(float(obstacles.radius) if net_aware else 0.0),
         )
         self.model = FFDNetwork(mcfg) if cfg.deq_type == "nn" else self._make_model(mcfg)
         # Warm-restart penalty: the reference clamps rho <= rho_init_max
@@ -116,7 +127,8 @@ class DEQMPCPolicy:
         self.tracking_mpc = TrackingMPC(
             env, cfg.T, al_iter=cfg.al_iter, dtype=cfg.solver_dtype,
             max_newton_steps=cfg.max_newton_steps, rho_max=cfg.rho_max,
-            dyn_res_tol=cfg.dyn_res_tol, obstacles=obstacles,
+            dyn_res_tol=cfg.dyn_res_tol,
+            obstacles=(obstacles if cfg.obstacle_constraints else None),
             solver_type=cfg.solver_type, qp_iter=cfg.qp_iter,
             ip_eps=cfg.ip_eps, ip_grad_method=cfg.ip_grad_method,
         )

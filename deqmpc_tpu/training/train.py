@@ -116,6 +116,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "between AL iterations (solver->network "
                         "re-entrancy; reference AL_mpc.py:173, default "
                         "off there too)")
+    p.add_argument("--obstacle_net_input", action="store_true",
+                   help="append per-knot nearest-obstacle features to the "
+                        "network input (obstacle-aware reference; the "
+                        "plain reference is blind and re-points through "
+                        "spheres, see PARITY.md obstacle row)")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--linearize_once", action="store_true",
                    help="streaming ticks freeze the dynamics Jacobians at "
@@ -204,6 +209,8 @@ def build_policy(args, env, obstacles=None):
         ip_grad_method=getattr(args, "ip_grad_method", "analytic"),
         linearize_once=getattr(args, "linearize_once", False),
         recompute_Qq=getattr(args, "recompute_Qq", False),
+        obstacle_net_input=getattr(args, "obstacle_net_input", False),
+        obstacle_constraints=getattr(args, "obstacle_constraints", True),
         compute_dtype=(jnp.bfloat16
                        if getattr(args, "compute_dtype", "f32") == "bf16"
                        else None),

@@ -88,6 +88,10 @@ def main():
     p.add_argument("--env", type=str, default="FlyingCartpole_obstacles",
                    help="obstacle env spec; FlyingCartpole_obstacles_dense "
                         "is the discriminating field (160 spheres r=0.4)")
+    p.add_argument("--obstacle_net_input", action="store_true",
+                   help="the --ckpt_obs policy was trained with per-knot "
+                        "obstacle features in the network input")
+    p.add_argument("--T", type=int, default=5)
     args = p.parse_args()
 
     env = make_env(args.env)
@@ -95,28 +99,36 @@ def main():
                             radius=float(env.obstacle_radius))
     targs = build_argparser().parse_args(
         f"--env {args.env} --model_type {args.model_type} "
-        "--T 5 --deq_iter 6 --hdim 256 --bsz 128 --nq 7".split())
+        f"--T {args.T} --deq_iter 6 --hdim 256 --bsz 128 --nq 7".split())
     targs = apply_model_type_presets(targs)
+    targs.obstacle_net_input = args.obstacle_net_input
 
     out = {}
-    # (a) obstacle-constrained policy
+    # (a) obstacle-constrained policy (optionally net-aware)
     pol = build_policy(targs, env, obstacles=obstacles)
     params = pol.init(jax.random.PRNGKey(0))
     params, _, step, _ = load_checkpoint(args.ckpt_obs, params, None)
     out["constrained"] = rollout_stats(env, pol, params, args.episodes,
                                        args.ep_len)
     out["constrained"]["ckpt_step"] = step
-    # (b) the same weights deployed WITHOUT obstacle constraints — the
-    # ablation isolating what the solver constraints buy at deployment
-    pol_unc = build_policy(targs, env, obstacles=None)
+    # (b) the same weights deployed WITHOUT the solver's obstacle
+    # constraint rows — the ablation isolating what the constraints buy
+    # at deployment. The network keeps its (possibly obstacle-aware)
+    # input so the parameter tree is identical.
+    targs_unc = argparse.Namespace(**vars(targs))
+    targs_unc.obstacle_constraints = False
+    pol_unc = build_policy(targs_unc, env, obstacles=obstacles)
     out["unconstrained_same_weights"] = rollout_stats(
         env, pol_unc, params, args.episodes, args.ep_len)
     # (c) optional: an obstacle-blind policy trained on plain flying
     if args.ckpt_plain:
-        params_p = pol_unc.init(jax.random.PRNGKey(0))
+        targs_blind = argparse.Namespace(**vars(targs))
+        targs_blind.obstacle_net_input = False
+        pol_blind = build_policy(targs_blind, env, obstacles=None)
+        params_p = pol_blind.init(jax.random.PRNGKey(0))
         params_p, _, step_p, _ = load_checkpoint(args.ckpt_plain, params_p,
                                                  None)
-        out["plain_policy"] = rollout_stats(env, pol_unc, params_p,
+        out["plain_policy"] = rollout_stats(env, pol_blind, params_p,
                                             args.episodes, args.ep_len)
         out["plain_policy"]["ckpt_step"] = step_p
     print(json.dumps(out, indent=2))

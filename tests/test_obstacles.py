@@ -60,3 +60,44 @@ def test_obstacle_constraint_pushes_trajectory_away():
         centers=jnp.broadcast_to(centers[:4], (bsz, T, 4, 3)), radius=radius)
     _, res_c = obstacle_residuals(x_obs, sel)
     assert float(res_c.max()) < 5e-2
+
+
+def test_obstacle_net_input_policy_forward():
+    """Policy with `obstacle_net_input`: per-knot nearest-sphere
+    features reach the network (output depends on the field) while
+    `obstacle_constraints=False` keeps the same parameter tree for the
+    constraint-row ablation (scripts/eval_obstacles.py arm b)."""
+    import dataclasses
+
+    from deqmpc_tpu.envs import make_env
+    from deqmpc_tpu.policies import DEQMPCPolicy, PolicyConfig
+
+    env = make_env("FlyingCartpole_obstacles")
+    obstacles = ObstacleSet(centers=jnp.asarray(env.obstacle_positions),
+                            radius=float(env.obstacle_radius))
+    cfg = PolicyConfig(
+        nx=env.nx, nu=env.nu, nq=7, T=4, dt=env.dt, bsz=2, hdim=16,
+        deq_iter=2, solver_dtype=jnp.float32, rho_max=1e5,
+        obstacle_net_input=True,
+    )
+    pol = DEQMPCPolicy(cfg, env, obstacles=obstacles)
+    params = pol.init(jax.random.PRNGKey(0))
+    x0 = env.reset(jax.random.PRNGKey(1), 2).astype(jnp.float32)
+    po, _ = pol.forward(params, x0, qp_solve=True)
+    nom_x, _, nom_u = po["trajs"][-1]
+    assert bool(jnp.isfinite(nom_x).all()) and bool(jnp.isfinite(nom_u).all())
+
+    # the network must actually see the field: shifting every center
+    # changes the proposal (a blind net would be invariant)
+    shifted = ObstacleSet(centers=obstacles.centers + 0.5,
+                          radius=obstacles.radius)
+    pol_shift = DEQMPCPolicy(cfg, env, obstacles=shifted)
+    po_s, _ = pol_shift.forward(params, x0, qp_solve=False)
+    po_b, _ = pol.forward(params, x0, qp_solve=False)
+    assert float(jnp.abs(po_s["trajs"][-1][0] - po_b["trajs"][-1][0]).max()) > 1e-6
+
+    # ablation arm: same params, solver constraint rows off
+    cfg_unc = dataclasses.replace(cfg, obstacle_constraints=False)
+    pol_unc = DEQMPCPolicy(cfg_unc, env, obstacles=obstacles)
+    po_u, _ = pol_unc.forward(params, x0, qp_solve=True)
+    assert bool(jnp.isfinite(po_u["trajs"][-1][1]).all())
