@@ -138,10 +138,19 @@ class SACTrainer:
                  hdim: int = 256, buffer_size: int = 200_000,
                  batch: int = 256, gamma: float = 0.99, tau: float = 0.005,
                  lr: float = 3e-4, start_steps: int = 2_000,
-                 ep_len: int = 200):
+                 ep_len: int = 200, smooth_w: float = 0.0):
         from ..envs.vec_env import VecEnv
 
         self.env = env
+        # reward shaping: small quadratic penalty on joint velocities
+        # and normalized action. The raw env rewards penalize only
+        # configuration error, and SAC exploits that with chattering
+        # bang-bang limit cycles (measured on cartpole1link: pole held
+        # upright with u flipping +-38 and thetadot +-1.9 every step —
+        # useless as an imitation teacher). The reference's RL-teacher
+        # training code (cgac) is not public; its datasets imply smooth
+        # experts, which this term recovers.
+        self.smooth_w = float(smooth_w)
         self.n_envs = n_envs
         self.vec = VecEnv(env, n_envs=n_envs, max_episode_steps=ep_len)
         self.feat, self.nobs_dim = obs_featurizer(env_name, env.nx)
@@ -199,6 +208,12 @@ class SACTrainer:
             k_expl, a_pi.shape, minval=self.u_lo, maxval=self.u_hi)
         a = jnp.where(state.step < self.start_steps, a_rand, a_pi)
         env_state, x_next_reset, rew, done = self.vec.step(state.env_state, a)
+        if self.smooth_w > 0:
+            nq = self.env.nx // 2
+            u_n = (2 * a - (self.u_hi + self.u_lo)) / (self.u_hi - self.u_lo)
+            rew = rew - self.smooth_w * (
+                jnp.sum(x[..., nq:] ** 2, axis=-1)
+                + jnp.sum(u_n ** 2, axis=-1))
         # store the TRUE next state (pre-reset) for the TD target;
         # time-limit terminations bootstrap (done=0), bad-state
         # terminations don't
@@ -343,6 +358,10 @@ def main(argv=None):
                    help="DART exploration noise during expert rollouts "
                         "(clean actions recorded)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--smooth_w", type=float, default=0.0,
+                   help="quadratic velocity+action reward shaping (see "
+                        "SACTrainer.smooth_w; 0.1 fixes the cartpole "
+                        "chattering limit cycle)")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--save_actor", type=str, default=None,
                    help="pickle the trained actor params here")
@@ -356,7 +375,7 @@ def main(argv=None):
 
     env = make_env(args.env)
     tr = SACTrainer(env, args.env, n_envs=args.n_envs, hdim=args.hdim,
-                    ep_len=args.ep_len)
+                    ep_len=args.ep_len, smooth_w=args.smooth_w)
     state = tr.init(args.seed)
     chunk = 1000
     for i in range(0, args.total_steps, chunk):
