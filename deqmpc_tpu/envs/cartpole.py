@@ -145,7 +145,31 @@ class CartpoleEnv(Env):
         )
         return jnp.concatenate([jnp.zeros(1, q.dtype), dtheta])
 
+    def _accel_1l(self, q, qd, u):
+        """Closed-form 1-link accel (nq=2), algebraically identical to
+        the generic Lagrangian path below (tip at (px + l sin th,
+        l cos th), 0 rad = upright). The generic path's jacfwd/cumsum/
+        einsum over 1-element tensors emits ~200 tiny serialized TPU
+        ops per RK4 eval (measured 3.3 ms/dynamics call, 9x on the
+        whole cartpole AL solve vs rexquad); these six fused multiplies
+        are the same math at VPU speed."""
+        th, thd = q[1], qd[1]
+        mc, mp, l, g = self.mc, self.mp, self.length, self.g
+        s, c = jnp.sin(th), jnp.cos(th)
+        # M = [[mc+mp, mp*l*c], [mp*l*c, mp*l^2]];
+        # rhs = tau - h = [u + mp*l*s*thd^2, mp*g*l*s]
+        a_ = mc + mp
+        b_ = mp * l * c
+        d_ = mp * l * l
+        r0 = u[0] + mp * l * s * thd * thd
+        r1 = mp * g * l * s
+        det = a_ * d_ - b_ * b_
+        return jnp.stack([(d_ * r0 - b_ * r1) / det,
+                          (a_ * r1 - b_ * r0) / det])
+
     def _accel(self, q, qd, u):
+        if self.nq == 2:
+            return self._accel_1l(q, qd, u)
         # One forward-mode Jacobian of the (closed-form) mass matrix gives
         # every velocity-product term; no reverse-mode AD inside the
         # dynamics, which keeps vmap(jacfwd(rk4(.))) cheap on TPU.
