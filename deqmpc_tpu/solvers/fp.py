@@ -33,6 +33,41 @@ class FPInfo(NamedTuple):
     final_err: Array   # (bsz,) last-iterate residual
 
 
+def _solve_small_qr(H: Array, y: Array) -> Array:
+    """Batched tiny general solve H x = y via unrolled MGS-QR.
+
+    `jnp.linalg.solve` on a traced (bsz, n, n) lowers to a batched LU
+    with serialized inner loops on TPU — the same ~100x trap as the
+    batched small cholesky (CLAUDE.md perf notes); at the Anderson
+    mixing size n = m+1 = 6 it dominated the whole network phase. An
+    unrolled modified-Gram-Schmidt QR + back-substitution is ~40 fused
+    elementwise (bsz, n) ops the VPU eats in one pass. The mixing
+    system is always jitter-regularized, so the pivot-free QR is safe.
+    H: (bsz, n, n), y: (bsz, n) -> (bsz, n).
+    """
+    n = H.shape[-1]
+    cols = [H[..., j] for j in range(n)]
+    qs: list = []
+    R: list = [[None] * n for _ in range(n)]
+    for j in range(n):
+        v = cols[j]
+        for i in range(j):
+            r = jnp.sum(qs[i] * v, axis=-1, keepdims=True)
+            R[i][j] = r
+            v = v - r * qs[i]
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-30)
+        R[j][j] = nrm
+        qs.append(v / nrm)
+    b = [jnp.sum(qs[i] * y, axis=-1, keepdims=True) for i in range(n)]
+    x: list = [None] * n
+    for j in range(n - 1, -1, -1):
+        acc = b[j]
+        for k in range(j + 1, n):
+            acc = acc - R[j][k] * x[k]
+        x[j] = acc / R[j][j]
+    return jnp.concatenate(x, axis=-1)
+
+
 def anderson(f, x0: Array, m: int = 5, lam: float = 1e-6, max_steps: int = 10,
              tol: float = 1e-2, stop_mode: str = "rel", beta: float = 0.8,
              acc_type: str = "good") -> Tuple[Array, FPInfo]:
@@ -99,7 +134,7 @@ def anderson(f, x0: Array, m: int = 5, lam: float = 1e-6, max_steps: int = 10,
         Hfull = Hfull.at[:, 1:, 0].set(valid)
         Hfull = Hfull.at[:, 1:, 1:].set(Hb)
         y = jnp.zeros((bsz, m + 1), dtype).at[:, 0].set(1.0)
-        alpha = jnp.linalg.solve(Hfull, y[..., None])[..., 0][:, 1:]  # (bsz, m)
+        alpha = _solve_small_qr(Hfull, y)[:, 1:]  # (bsz, m)
         alpha = alpha * valid  # safety: exact zeros for unfilled slots
 
         x_new = beta * jnp.einsum("bm,bmn->bn", alpha, F) + (1 - beta) * jnp.einsum(
@@ -183,7 +218,7 @@ def anderson_jiio(f, x0: Array, m: int = 5, lam: float = 1e-6,
         Hfull = Hfull.at[:, 1:, 0].set(valid)
         Hfull = Hfull.at[:, 1:, 1:].set(Hb)
         y = jnp.zeros((bsz, m + 1), dtype).at[:, 0].set(1.0)
-        alpha = jnp.linalg.solve(Hfull, y[..., None])[..., 0][:, 1:] * valid
+        alpha = _solve_small_qr(Hfull, y)[:, 1:] * valid
         x_new = beta * jnp.einsum("bm,bmn->bn", alpha, F) + (1 - beta) * jnp.einsum(
             "bm,bmn->bn", alpha, X
         )
